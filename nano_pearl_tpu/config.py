@@ -1,0 +1,221 @@
+"""Configuration for nano-PEARL-TPU.
+
+TPU-native counterpart of the reference config system
+(reference: nano_pearl/pearl_config.py). Differences by design:
+
+- ``ModelConfig`` parses ``config.json`` directly (no torch / transformers
+  dependency in the core), or is constructed in-memory for tests.
+- TP padding (reference: pearl_config.py:37-67) is applied for *every*
+  TP degree; when dims already divide evenly it is a no-op. Padded dims
+  are additionally aligned to the TPU lane width (128) where it matters
+  (intermediate size, vocab), mirroring the reference's tensor-core
+  alignment but using the TPU tile.
+- There is no per-rank ``TPParams``: sharding is expressed once with
+  ``jax.sharding.PartitionSpec`` (see nano_pearl_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field, replace
+
+LANE = 128  # TPU lane width; MXU/VPU minor-dim tile.
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclass
+class SamplingParams:
+    """Per-request sampling parameters (reference: layers/sampler.py:45-52)."""
+
+    temperature: float = 1.0
+    max_tokens: int = 64
+    ignore_eos: bool = False
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyper-parameters of one model (draft or target).
+
+    Mirrors the fields the reference reads off HF ``AutoConfig``
+    (reference: pearl_config.py:20-67, models/llama.py, qwen2.py, qwen3.py).
+    """
+
+    architecture: str = "LlamaForCausalLM"
+    hidden_size: int = 256
+    intermediate_size: int = 1024
+    num_hidden_layers: int = 2
+    num_attention_heads: int = 4
+    num_key_value_heads: int = 2
+    head_dim: int | None = None
+    vocab_size: int = 512
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # llama attention_bias / qwen2 implicit qkv bias
+    qkv_bias: bool | None = None  # qwen2-style; overrides attention_bias for qkv
+    qk_norm: bool = False  # qwen3 per-head q/k RMS norm
+    eos_token_id: int | list[int] = 2
+    dtype: str = "bfloat16"
+    rope_scaling: dict | None = None
+
+    # Filled in by `pad_for_tp`; identical to the originals when no padding
+    # was needed. Sharded dims must divide tp.
+    tp_size: int = 1
+    valid_vocab_size: int = -1
+    valid_num_heads: int = -1
+    valid_num_kv_heads: int = -1
+    valid_intermediate_size: int = -1
+    model_path: str | None = None
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        if self.qkv_bias is None:
+            self.qkv_bias = self.attention_bias
+        if self.valid_vocab_size < 0:
+            self.valid_vocab_size = self.vocab_size
+        if self.valid_num_heads < 0:
+            self.valid_num_heads = self.num_attention_heads
+        if self.valid_num_kv_heads < 0:
+            self.valid_num_kv_heads = self.num_key_value_heads
+        if self.valid_intermediate_size < 0:
+            self.valid_intermediate_size = self.intermediate_size
+
+    @property
+    def eos_ids(self) -> list[int]:
+        e = self.eos_token_id
+        return [e] if isinstance(e, int) else list(e)
+
+    @classmethod
+    def from_json(cls, path: str) -> "ModelConfig":
+        """Load from a HF-style ``config.json`` (directory or file path)."""
+        cfg_file = path if path.endswith(".json") else os.path.join(path, "config.json")
+        with open(cfg_file) as f:
+            raw = json.load(f)
+        qk_norm = raw.get("architectures", ["?"])[0] == "Qwen3ForCausalLM"
+        return cls(
+            architecture=raw.get("architectures", ["LlamaForCausalLM"])[0],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_hidden_layers=raw["num_hidden_layers"],
+            num_attention_heads=raw["num_attention_heads"],
+            num_key_value_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
+            head_dim=raw.get("head_dim"),
+            vocab_size=raw["vocab_size"],
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            max_position_embeddings=raw.get("max_position_embeddings", 4096),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+            attention_bias=raw.get("attention_bias", False) or raw.get("bias", False),
+            qkv_bias=raw.get("qkv_bias", True if raw.get("architectures", ["?"])[0] == "Qwen2ForCausalLM" else None),
+            qk_norm=qk_norm,
+            eos_token_id=raw.get("eos_token_id", 2),
+            dtype=raw.get("torch_dtype", "bfloat16"),
+            rope_scaling=raw.get("rope_scaling"),
+            model_path=os.path.dirname(cfg_file) or ".",
+        )
+
+    def pad_for_tp(self, tp: int) -> "ModelConfig":
+        """Pad head/ffn/vocab dims so every sharded dim divides ``tp``.
+
+        Reference: pearl_config.py:37-67 (non-2-power TP padding). We pad
+        for any tp (no-op when divisible) and align intermediate/vocab to
+        the 128-lane TPU tile per shard.
+        """
+        gqa_ratio = self.num_attention_heads // self.num_key_value_heads
+        padded_kv = round_up(self.num_key_value_heads, tp)
+        padded_heads = padded_kv * gqa_ratio
+        padded_intermediate = round_up(self.intermediate_size, tp * LANE)
+        padded_vocab = round_up(self.vocab_size, tp * LANE)
+        return replace(
+            self,
+            tp_size=tp,
+            num_key_value_heads=padded_kv,
+            num_attention_heads=padded_heads,
+            intermediate_size=padded_intermediate,
+            vocab_size=padded_vocab,
+            valid_num_kv_heads=self.num_key_value_heads,
+            valid_num_heads=self.num_attention_heads,
+            valid_intermediate_size=self.intermediate_size,
+            valid_vocab_size=self.vocab_size,
+        )
+
+
+@dataclass
+class PearlConfig:
+    """Global engine config (reference: pearl_config.py:69-107).
+
+    ``draft_model`` / ``target_model`` accept either a checkpoint directory
+    (with ``config.json`` + ``*.safetensors``) or an in-memory
+    ``ModelConfig`` (tests / benchmarks with random weights).
+    """
+
+    draft_model: str | ModelConfig
+    target_model: str | ModelConfig
+    draft_tp: int = 1
+    target_tp: int = 1
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    kvcache_block_size: int = 64
+    num_kvcache_blocks: int = -1  # -1: derive from hbm_utilization
+    hbm_utilization: float = 0.9
+    gamma: int = -1  # -1: auto profile (reference: pearl_config.py:84)
+    seed: int = 0
+    dtype: str = "bfloat16"
+    # Static-shape buckets replacing CUDA-graph capture buckets
+    # (reference: pearl_model_runner.py:276).
+    decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    prefill_token_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+    # Explicit device assignment (list of jax devices) or None for
+    # automatic split: draft gets the first draft_tp devices, target the
+    # next target_tp (reference: pearl_config.py:88-93). On hosts with
+    # fewer devices than draft_tp+target_tp the groups share devices
+    # (still correct; concurrency degrades gracefully).
+    devices: object = None
+
+    draft_config: ModelConfig = field(init=False)
+    target_config: ModelConfig = field(init=False)
+
+    def __post_init__(self):
+        def resolve(m) -> ModelConfig:
+            return ModelConfig.from_json(m) if isinstance(m, str) else m
+
+        self.draft_config = resolve(self.draft_model).pad_for_tp(self.draft_tp)
+        self.target_config = resolve(self.target_model).pad_for_tp(self.target_tp)
+        assert self.max_num_batched_tokens >= self.max_model_len
+        assert self.max_model_len % self.kvcache_block_size == 0, (
+            "max_model_len must be a multiple of the KV block size"
+        )
+        # Reference asserts draft/target eos equality (pearl_config.py:102).
+        d_eos, t_eos = set(self.draft_config.eos_ids), set(self.target_config.eos_ids)
+        assert d_eos == t_eos, f"draft eos {d_eos} != target eos {t_eos}"
+        self.eos = self.target_config.eos_ids
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return cdiv(self.max_model_len, self.kvcache_block_size)
+
+    def bucket_batch(self, n: int) -> int:
+        """Smallest decode bucket >= n (reference: pearl_model_runner.py:252)."""
+        for b in self.decode_bucket_sizes:
+            if b >= n:
+                return b
+        return round_up(n, self.decode_bucket_sizes[-1])
+
+    def bucket_tokens(self, n: int) -> int:
+        """Smallest prefill token bucket >= n."""
+        for b in self.prefill_token_buckets:
+            if b >= n:
+                return b
+        return round_up(n, self.prefill_token_buckets[-1])

@@ -1,0 +1,146 @@
+"""User-facing engine (reference: nano_pearl/pearl_engine/pearl_engine.py).
+
+Single-controller: no worker processes, no shared-memory RPC, no atexit
+process reaping — the engine object directly owns the two GroupRunners
+and the scheduler. API surface matches the reference:
+
+    engine = PearlEngine(config)
+    engine.add_request(prompt_or_token_ids, SamplingParams(...))
+    texts, num_tokens, num_acc_tokens, elapsed = engine.generate()
+    ... = engine.AR_generate()
+    ... = engine.bench_generate(num_pearl_steps=100)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from nano_pearl_tpu.config import PearlConfig, SamplingParams
+from nano_pearl_tpu.engine.pearl import PearlOrchestrator
+from nano_pearl_tpu.engine.runner import GroupRunner
+from nano_pearl_tpu.engine.scheduler import Scheduler
+from nano_pearl_tpu.engine.sequence import Sequence, SequenceStatus
+from nano_pearl_tpu.parallel.mesh import build_group_meshes
+from nano_pearl_tpu.utils.logging import logger
+
+
+class PearlEngine:
+    def __init__(
+        self,
+        config: PearlConfig,
+        *,
+        draft_params: dict | None = None,
+        target_params: dict | None = None,
+    ):
+        """``draft_params``/``target_params`` allow injecting in-memory
+        weights (tests, weightless benchmarks); otherwise weights load
+        from each model's checkpoint directory."""
+        self.config = config
+        draft_mesh, target_mesh = build_group_meshes(
+            config.draft_tp, config.target_tp, config.devices
+        )
+        self.draft = GroupRunner(
+            config, config.draft_config, draft_mesh, params=draft_params, seed=config.seed
+        )
+        self.target = GroupRunner(
+            config, config.target_config, target_mesh,
+            params=target_params, seed=config.seed + 1,
+        )
+        self.scheduler = Scheduler(config, self.draft.num_blocks, self.target.num_blocks)
+        self.orchestrator = PearlOrchestrator(config, self.draft, self.target, self.scheduler)
+        self.tokenizer = self._maybe_tokenizer()
+        if config.gamma == -1:
+            self.orchestrator.auto_set_gamma()
+        logger.info("PearlEngine ready.", color="green")
+
+    def _maybe_tokenizer(self):
+        path = self.config.target_config.model_path
+        if not path:
+            return None
+        if not any(
+            os.path.exists(os.path.join(path, f))
+            for f in ("tokenizer.json", "tokenizer.model", "tokenizer_config.json")
+        ):
+            return None
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(path, use_fast=True)
+        except Exception as e:  # tokenizer is optional; token-id API still works
+            logger.warning(f"tokenizer unavailable ({e}); pass token ids to add_request")
+            return None
+
+    # ----------------------------------------------------------------- API
+
+    def add_request(self, prompt, sampling_params: SamplingParams | None = None):
+        """reference: pearl_engine.py:109-121 (chat template + encode)."""
+        sampling_params = sampling_params or SamplingParams()
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompts need a tokenizer"
+            text = self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": prompt}],
+                tokenize=False,
+                add_generation_prompt=True,
+            )
+            prompt = self.tokenizer.encode(text)
+        assert len(prompt) > 0
+        assert len(prompt) + sampling_params.max_tokens <= self.config.max_model_len, (
+            "prompt + max_tokens exceeds max_model_len"
+        )
+        seq = Sequence(list(prompt), sampling_params, self.config.kvcache_block_size)
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def _collect(self, seqs: list[Sequence]):
+        seqs = sorted(seqs, key=lambda s: s.seq_id)
+        token_ids = [s.completion_token_ids for s in seqs]
+        num_acc = [list(s.num_acc_tokens) for s in seqs]
+        texts = (
+            [self.tokenizer.decode(t, skip_special_tokens=False) for t in token_ids]
+            if self.tokenizer
+            else [None] * len(seqs)
+        )
+        return texts, [len(t) for t in token_ids], num_acc, token_ids
+
+    def generate(self):
+        """PEARL generation (reference: pearl_engine.py:123-135)."""
+        elapsed = self.orchestrator.generate_loop()
+        texts, num_tokens, num_acc, _ = self._collect(self.scheduler.finished)
+        self.scheduler.clear()
+        return texts, num_tokens, num_acc, elapsed
+
+    def generate_token_ids(self):
+        """Like generate() but returns completion token id lists (for
+        tokenizer-less use)."""
+        elapsed = self.orchestrator.generate_loop()
+        _, num_tokens, num_acc, token_ids = self._collect(self.scheduler.finished)
+        self.scheduler.clear()
+        return token_ids, num_tokens, num_acc, elapsed
+
+    def AR_generate(self):
+        """Target-only autoregressive baseline (reference: pearl_engine.py:137-150)."""
+        elapsed = self.orchestrator.ar_loop()
+        texts, num_tokens, _, _ = self._collect(self.scheduler.finished)
+        self.scheduler.clear()
+        return texts, num_tokens, None, elapsed
+
+    def AR_generate_token_ids(self):
+        elapsed = self.orchestrator.ar_loop()
+        _, num_tokens, _, token_ids = self._collect(self.scheduler.finished)
+        self.scheduler.clear()
+        return token_ids, num_tokens, None, elapsed
+
+    def bench_generate(self, num_pearl_steps: int = 100):
+        """Fixed-step throughput benchmark (reference: pearl_engine.py:152-164)."""
+        elapsed = self.orchestrator.bench_loop(num_pearl_steps)
+        running = [s for s in self.scheduler.running]
+        texts, num_tokens, num_acc, _ = self._collect(running + self.scheduler.finished)
+        self.scheduler.clear()
+        return texts, num_tokens, num_acc, elapsed
+
+    def exit(self):
+        """Reference parity (pearl_engine.py:98-106); nothing to tear down
+        in single-controller JAX."""
+        self.scheduler.clear()

@@ -1,0 +1,341 @@
+"""PEARL orchestration: concurrent draft/target rounds + verify state machine.
+
+This is the single-controller redesign of the reference's distributed
+hot loop (reference: pearl_model_runner.py:414-478 pearl_generate /
+pearl_bench_generate, :485-553 DraftModelRunner, :556-694
+TargetModelRunner). Control flow per round:
+
+    reference (2 process groups, NCCL rendezvous)     this engine (1 controller)
+    ---------------------------------------------     --------------------------
+    draft: gamma x (graph replay + bcast)             dispatch draft gamma-scan   (async)
+    target: packed forward (graph replay)             dispatch target forward     (async)
+    draft->target verify-group bcast of tokens        fetch draft tokens (host)
+    target master: python verify loop                 dispatch vectorized verdict
+    target->ALL bcast of verify_res                   fetch verdict (5 small vecs)
+    each replica applies rollback/append              host applies to both views
+
+The two dispatches at the top are issued back-to-back before any fetch,
+so on disjoint sub-meshes the draft and target programs run concurrently
+— the same overlap the reference gets from separate processes, without
+replicated schedulers or an RPC bus.
+
+Rollback never touches KV contents — accepted/rolled-back state is pure
+length/block bookkeeping on the host (reference behaves identically:
+block_manager.py:93-106).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from nano_pearl_tpu.config import PearlConfig
+from nano_pearl_tpu.engine.runner import GroupRunner, next_pow2
+from nano_pearl_tpu.engine.scheduler import Scheduler, is_eos
+from nano_pearl_tpu.engine.sequence import Sequence
+from nano_pearl_tpu.utils.logging import logger
+
+
+class PearlOrchestrator:
+    def __init__(
+        self,
+        pcfg: PearlConfig,
+        draft: GroupRunner,
+        target: GroupRunner,
+        scheduler: Scheduler,
+    ):
+        self.pcfg = pcfg
+        self.draft = draft
+        self.target = target
+        self.scheduler = scheduler
+        self.key = jax.random.key(pcfg.seed)
+        self._round = 0
+        self.gamma_list: dict[int, int] | None = None
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _sync(self):
+        """Block until both groups' device state is final (the timing
+        equivalent of the reference's torch.cuda.synchronize brackets,
+        :427, :462)."""
+        jax.block_until_ready(self.draft.kv)
+        jax.block_until_ready(self.target.kv)
+
+    def _m_pad(self, views) -> int:
+        m = max(len(v.block_table) for v in views)
+        return min(next_pow2(max(m, 8)), self.pcfg.max_blocks_per_seq)
+
+    # ------------------------------------------------------------- prefill
+
+    def prefill_all(self, target_only: bool = False):
+        """Prefill every waiting request, in as many admission batches as
+        needed (the reference assumes a single batch: pearl_generate calls
+        prefill() once, :418). Each group samples its own first token from
+        its own logits (reference: prefill() runs per group, :307-317);
+        finish-on-EOS follows the committed target stream only."""
+        while self.scheduler.waiting:
+            seqs = self.scheduler.schedule_prefill()
+            assert seqs, "prefill admission made no progress (prompt too large?)"
+            b = len(seqs)
+            b_pad = self.pcfg.bucket_batch(b)
+            lq_d = max(len(s.draft) - s.draft.num_cached_tokens for s in seqs)
+            lq_t = max(len(s.target) - s.target.num_cached_tokens for s in seqs)
+            temps = np.zeros((b_pad,), np.float32)
+            temps[:b] = [s.temperature for s in seqs]
+
+            logits_d = logits_t = None
+            if not target_only:
+                logits_d = self.draft.prefill(
+                    [s.draft for s in seqs],
+                    self.pcfg.bucket_tokens(lq_d),
+                    b_pad,
+                    self._m_pad([s.draft for s in seqs]),
+                )
+            logits_t = self.target.prefill(
+                [s.target for s in seqs],
+                self.pcfg.bucket_tokens(lq_t),
+                b_pad,
+                self._m_pad([s.target for s in seqs]),
+            )
+            if not target_only:
+                toks_d = np.asarray(
+                    self.draft.sample_tokens(logits_d, temps, self._next_key())
+                )
+            toks_t = np.asarray(
+                self.target.sample_tokens(logits_t, temps, self._next_key())
+            )
+            for i, seq in enumerate(seqs):
+                if not target_only:
+                    seq.draft.append(int(toks_d[i]))
+                seq.target.append(int(toks_t[i]))
+            # finish check on the committed stream (reference: postprocess,
+            # scheduler.py:74-81)
+            for i, seq in enumerate(list(seqs)):
+                tok = int(toks_t[i])
+                if (not seq.ignore_eos and is_eos(tok, self.scheduler.eos)) or (
+                    seq.num_completion_tokens == seq.max_tokens
+                ):
+                    self.scheduler.finish(seq)
+
+    # --------------------------------------------------------------- rounds
+
+    def pearl_round(self, gamma: int):
+        """One PEARL step across both groups (reference: pearl_step)."""
+        sch = self.scheduler
+        seqs = sch.schedule_decode(lookahead=gamma + 1)
+        b = len(seqs)
+        b_pad = self.pcfg.bucket_batch(b)
+        is_pre = np.zeros((b_pad,), bool)
+        is_pre[:b] = [s.pre_verify for s in seqs]
+
+        draft_views = [s.draft for s in seqs]
+        target_views = [s.target for s in seqs]
+
+        # 1+2: dispatch both groups back-to-back (concurrent on disjoint meshes)
+        toks_dev = self.draft.gamma_scan(draft_views, gamma, b_pad, self._m_pad(draft_views))
+        logits_dev = self.target.verify_forward(
+            target_views, is_pre, gamma, b_pad, self._m_pad(target_views)
+        )
+
+        # 3: fetch draft tokens — [gamma, b_pad] -> [b, gamma]
+        g_toks = np.asarray(toks_dev).T[:b]
+
+        # 4: build the to-be-verified window. The target's forward over its
+        # last-appended tokens yields logits predicting the NEXT positions,
+        # i.e. the previous draft round shifted by one plus the first token
+        # of the current round (reference: :518-521).
+        tbv = np.zeros((b_pad, gamma), np.int32)
+        for i, seq in enumerate(seqs):
+            if is_pre[i]:
+                tbv[i, 0] = g_toks[i, 0]
+            else:
+                tail = seq.draft.token_ids[-(gamma - 1):] if gamma > 1 else []
+                tbv[i, : gamma - 1] = tail
+                tbv[i, gamma - 1] = g_toks[i, 0]
+
+        # 5: commit this round's draft tokens to the draft view
+        for i, seq in enumerate(seqs):
+            for t in g_toks[i]:
+                seq.draft.append(int(t))
+
+        # 6: verdict on the target mesh
+        num_completion = np.full((b_pad,), 0, np.int64)
+        max_tokens = np.full((b_pad,), np.iinfo(np.int64).max // 2, np.int64)
+        ignore_eos = np.ones((b_pad,), bool)
+        temps = np.zeros((b_pad,), np.float32)
+        for i, s in enumerate(seqs):
+            num_completion[i] = s.num_completion_tokens
+            max_tokens[i] = min(s.max_tokens, np.iinfo(np.int64).max // 2)
+            ignore_eos[i] = s.ignore_eos
+            temps[i] = s.temperature
+        res = self.target.verdict(
+            logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
+            ignore_eos, self._next_key(), gamma,
+        )
+
+        # 7: fetch the 5 verdict vectors
+        acc = np.asarray(res.acc)[:b]
+        rollout = np.asarray(res.rollout)[:b]
+        revise = np.asarray(res.revise)[:b]
+        finish = np.asarray(res.finish)[:b]
+        n_acc = np.asarray(res.n_acc)[:b]
+
+        # 8: apply the state machine to both views
+        for i, seq in enumerate(seqs):
+            self._apply_verdict(
+                seq, bool(acc[i]), int(rollout[i]), int(revise[i]),
+                bool(finish[i]), int(n_acc[i]), g_toks[i], gamma,
+            )
+        self._round += 1
+
+    def _apply_verdict(self, seq: Sequence, acc: bool, rollout: int, revise: int,
+                       finish: bool, n_acc: int, g_toks: np.ndarray, gamma: int):
+        sch = self.scheduler
+        was_pre = seq.pre_verify
+
+        # MAT bookkeeping (reference: :626-656; emitted count includes the
+        # revise token on rejection)
+        if acc:
+            seq.cur_acc_tokens += n_acc
+        else:
+            seq.num_acc_tokens.append(seq.cur_acc_tokens + n_acc + 1)
+            seq.cur_acc_tokens = 0
+
+        # ---- target view update (reference: :667-686) ----
+        if acc:
+            for t in g_toks:
+                seq.target.append(int(t))
+        else:
+            if not was_pre and rollout > 1:
+                sch.target_bm.rollback(seq.target, rollout - 1)
+            seq.target.append(revise)
+
+        # ---- draft view update (reference: :528-553) ----
+        if finish:
+            # reference target: :688-694 (append cur_acc, then retire)
+            seq.num_acc_tokens.append(seq.cur_acc_tokens)
+            seq.cur_acc_tokens = 0
+            sch.finish(seq)
+            return
+        if acc:
+            seq.pre_verify = False
+        else:
+            seq.pre_verify = True
+            sch.draft_bm.rollback(seq.draft, gamma)
+            if not was_pre and rollout > 1:
+                sch.draft_bm.rollback(seq.draft, rollout - 1)
+            seq.draft.append(revise)
+
+    # ------------------------------------------------------------ generate
+
+    def _pick_gamma(self) -> int:
+        if self.pcfg.gamma != -1:
+            return self.pcfg.gamma
+        assert self.gamma_list, "gamma=-1 requires auto_set_gamma() first"
+        b = len(self.scheduler.running)
+        for bs in sorted(self.gamma_list):
+            if bs >= b:
+                return self.gamma_list[bs]
+        return self.gamma_list[max(self.gamma_list)]
+
+    def generate_loop(self) -> float:
+        """reference: pearl_generate (:414-438). Returns elapsed seconds."""
+        start = time.perf_counter()
+        self.prefill_all()
+        gamma = self._pick_gamma() if self.scheduler.running else 1
+        while not self.scheduler.is_finished():
+            self.pearl_round(gamma)
+        self._sync()
+        return time.perf_counter() - start
+
+    def bench_loop(self, num_pearl_steps: int) -> float:
+        """reference: pearl_bench_generate (:440-478) — fixed step count,
+        eos ignored and max_tokens unbounded so the batch size stays
+        constant for the whole measurement."""
+        start = time.perf_counter()
+        self.prefill_all()
+        for seq in self.scheduler.running:
+            seq.max_tokens = 10**9
+            seq.ignore_eos = True
+        gamma = self._pick_gamma() if self.scheduler.running else 1
+        for _ in range(num_pearl_steps):
+            self.pearl_round(gamma)
+        self._sync()
+        elapsed = time.perf_counter() - start
+        # acc counters of still-running seqs (reference: :466-468)
+        for seq in self.scheduler.running:
+            seq.num_acc_tokens.append(seq.cur_acc_tokens)
+            seq.cur_acc_tokens = 0
+        return elapsed
+
+    def ar_loop(self) -> float:
+        """Target-only autoregressive baseline (reference: AR_generate /
+        parallel_generate :393-412 — the reference also runs the draft
+        group but discards its output; we skip that waste)."""
+        start = time.perf_counter()
+        self.prefill_all(target_only=True)
+        while not self.scheduler.is_finished():
+            seqs = self.scheduler.schedule_decode(lookahead=1)
+            b = len(seqs)
+            b_pad = self.pcfg.bucket_batch(b)
+            views = [s.target for s in seqs]
+            logits = self.target.decode(views, b_pad, self._m_pad(views))
+            temps = np.zeros((b_pad,), np.float32)
+            temps[:b] = [s.temperature for s in seqs]
+            toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_key()))
+            self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
+        self._sync()
+        return time.perf_counter() - start
+
+    # --------------------------------------------------------- auto gamma
+
+    def auto_set_gamma(self, profile_steps: int = 12, skip_first: int = 3,
+                       batch_sizes=(1, 2, 4, 8, 16, 32), seq_len: int = 256):
+        """Profile draft vs target decode speed and set gamma per batch
+        size (reference: auto_set_gamma, :346-387)."""
+        from nano_pearl_tpu.config import SamplingParams
+
+        gamma_list = {}
+        for bs in batch_sizes:
+            if bs > self.pcfg.max_num_seqs:
+                break
+            seqs = [
+                Sequence([1] * seq_len, SamplingParams(temperature=0.0),
+                         self.pcfg.kvcache_block_size)
+                for _ in range(bs)
+            ]
+            for s in seqs:
+                self.scheduler.add(s)
+            admitted = self.scheduler.schedule_prefill()
+            if len(admitted) < bs:
+                self.scheduler.clear()
+                break
+            speeds = {}
+            for runner, views in (
+                (self.draft, [s.draft for s in seqs]),
+                (self.target, [s.target for s in seqs]),
+            ):
+                bm = self.scheduler.draft_bm if runner is self.draft else self.scheduler.target_bm
+                times = []
+                for step in range(profile_steps):
+                    for v in views:
+                        bm.ensure_capacity(v, 1)
+                    t0 = time.perf_counter()
+                    logits = runner.decode(views, self.pcfg.bucket_batch(bs), self._m_pad(views))
+                    toks = np.asarray(jax.block_until_ready(logits)).argmax(-1)
+                    times.append(time.perf_counter() - t0)
+                    for v, t in zip(views, toks[:bs]):
+                        v.append(int(t))
+                good = times[skip_first:]
+                speeds[runner.name] = len(good) / sum(good)
+            gamma_list[bs] = max(1, round(speeds["draft"] / speeds["target"]))
+            logger.info(
+                f"auto-gamma bs={bs}: draft {speeds['draft']:.1f} it/s, "
+                f"target {speeds['target']:.1f} it/s -> gamma {gamma_list[bs]}"
+            )
+            self.scheduler.clear()
+        self.gamma_list = gamma_list or {1: 4}

@@ -1,0 +1,312 @@
+"""Per-group device runner: compiled programs + device state.
+
+TPU-native replacement for the reference's per-GPU worker processes
+(reference: nano_pearl/pearl_engine/pearl_model_runner.py). One
+``GroupRunner`` owns a model group's parameters, paged KV cache and
+jit-compiled step programs on that group's sub-mesh; there is no RPC —
+the PEARL orchestrator (engine/pearl.py) calls both runners from the
+single controller and relies on JAX async dispatch for cross-group
+overlap.
+
+CUDA-graph capture per batch bucket (reference: :264-301) becomes
+jit-compilation per static shape bucket; the per-token gamma-loop of the
+draft (reference: :492-507, one Python iteration + graph replay per
+token) becomes ONE compiled ``lax.scan`` over gamma decode steps, so a
+full draft round is a single dispatch.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nano_pearl_tpu.config import ModelConfig, PearlConfig
+from nano_pearl_tpu.engine.sequence import SeqView
+from nano_pearl_tpu.models.transformer import (
+    compute_logits,
+    forward,
+    init_params,
+    make_rope_table,
+)
+from nano_pearl_tpu.ops.attention import paged_attention, prefill_attention_jnp
+from nano_pearl_tpu.ops.kv_cache import make_kv_cache
+from nano_pearl_tpu.ops.sampling import greedy, sample
+from nano_pearl_tpu.ops.verify import verify_verdict
+from nano_pearl_tpu.parallel.mesh import GroupMesh
+from nano_pearl_tpu.parallel.sharding import kv_cache_sharding, param_shardings
+from nano_pearl_tpu.utils.loader import load_params
+from nano_pearl_tpu.utils.logging import logger
+
+_DEFAULT_CPU_BLOCKS = 512
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class GroupRunner:
+    def __init__(
+        self,
+        pcfg: PearlConfig,
+        mcfg: ModelConfig,
+        gmesh: GroupMesh,
+        *,
+        params: dict | None = None,
+        seed: int = 0,
+    ):
+        self.pcfg = pcfg
+        self.cfg = mcfg
+        self.gmesh = gmesh
+        self.name = gmesh.name
+        self.block_size = pcfg.kvcache_block_size
+        self.scale = mcfg.head_dim**-0.5
+
+        shardings = param_shardings(mcfg, gmesh)
+        if params is not None:
+            self.params = jax.device_put(params, shardings)
+        elif mcfg.model_path:
+            self.params = load_params(mcfg, mcfg.model_path, shardings)
+        else:
+            logger.warning(f"[{self.name}] no checkpoint path; random-initializing weights")
+            with gmesh.mesh:
+                self.params = jax.jit(
+                    partial(init_params, mcfg), out_shardings=shardings
+                )(jax.random.key(seed))
+        self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
+
+        self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
+        self.kv = make_kv_cache(
+            mcfg.num_hidden_layers,
+            self.num_blocks,
+            self.block_size,
+            mcfg.num_key_value_heads,
+            mcfg.head_dim,
+            dtype=jnp.dtype(mcfg.dtype),
+            sharding=kv_cache_sharding(gmesh),
+        )
+        logger.info(
+            f"[{self.name}] kv cache: {self.num_blocks} blocks x {self.block_size} tokens "
+            f"({self.kv.nbytes / 2**30:.2f} GiB global)",
+            color="green",
+        )
+        self.garbage_block = self.num_blocks  # extra block appended by make_kv_cache
+
+        self._jit_prefill = jax.jit(self._prefill_impl, donate_argnums=1)
+        self._jit_decode = jax.jit(self._decode_impl, donate_argnums=1)
+        self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=1, static_argnames="gamma")
+        self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=1)
+        self._jit_verdict = jax.jit(self._verdict_impl, static_argnames="gamma")
+        self._jit_sample = jax.jit(self._sample_impl)
+
+    # ------------------------------------------------------------------ setup
+
+    def _decide_num_blocks(self, pcfg: PearlConfig, mcfg: ModelConfig) -> int:
+        if pcfg.num_kvcache_blocks > 0:
+            return pcfg.num_kvcache_blocks
+        # Derive from per-device free HBM like the reference's
+        # allocate_kv_cache (pearl_model_runner.py:119-133).
+        dev = self.gmesh.mesh.devices.flat[0]
+        stats = None
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            pass
+        if not stats or "bytes_limit" not in stats:
+            return _DEFAULT_CPU_BLOCKS
+        free = stats["bytes_limit"] * pcfg.hbm_utilization - stats.get("bytes_in_use", 0)
+        block_bytes = (
+            mcfg.num_hidden_layers
+            * 2
+            * self.block_size
+            * mcfg.num_key_value_heads
+            * mcfg.head_dim
+            * jnp.dtype(pcfg.dtype).itemsize
+        )
+        num = int(free * self.gmesh.tp_size) // block_bytes
+        assert num > 0, f"[{self.name}] not enough HBM for any KV block"
+        return num
+
+    # --------------------------------------------------------------- programs
+
+    def _prefill_impl(self, params, kv, tokens, positions, slots, block_tables, q_positions, sel_rows):
+        """Flat [B*Lq] prefill; returns logits at each sequence's last row
+        (reference: prefill path of run_model + ParallelLMHead last-token
+        gather, embed_head.py:66-68)."""
+        attn = partial(prefill_attention_jnp, scale=self.scale)
+        hidden, kv = forward(
+            self.cfg, params, kv, tokens, positions, slots, self.rope_table,
+            attn, (block_tables, q_positions),
+        )
+        return kv, compute_logits(self.cfg, params, hidden[sel_rows])
+
+    def _decode_impl(self, params, kv, tokens, positions, slots, block_tables, context_lens):
+        """One decode step for B rows (reference: step(), :319-331)."""
+        attn = partial(paged_attention, scale=self.scale)
+        hidden, kv = forward(
+            self.cfg, params, kv, tokens, positions, slots, self.rope_table,
+            attn, (block_tables, context_lens),
+        )
+        return kv, compute_logits(self.cfg, params, hidden)
+
+    def _gamma_impl(self, params, kv, tokens, positions, block_tables, context_lens, *, gamma):
+        """The draft's whole PEARL round as one compiled scan: gamma greedy
+        decode steps feeding sampled tokens forward (reference:
+        DraftModelRunner.pearl_step :492-507 — gamma Python iterations of
+        CUDA-graph replays + in-group broadcasts; here zero host round-trips).
+        """
+        bs = self.block_size
+
+        def step(carry, _):
+            kv, toks, pos, ctx = carry
+            slots = (
+                jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0] * bs
+                + pos % bs
+            )
+            attn = partial(paged_attention, scale=self.scale)
+            hidden, kv = forward(
+                self.cfg, params, kv, toks, pos, slots, self.rope_table,
+                attn, (block_tables, ctx),
+            )
+            logits = compute_logits(self.cfg, params, hidden)
+            nxt = greedy(logits)  # draft decodes greedily (reference :498-500)
+            return (kv, nxt, pos + 1, ctx + 1), nxt
+
+        (kv, _, _, _), toks = jax.lax.scan(
+            step, (kv, tokens, positions, context_lens), None, length=gamma
+        )
+        return kv, toks  # toks: [gamma, B]
+
+    def _verify_fwd_impl(self, params, kv, tokens, positions, slots, block_tables, context_lens):
+        """Target packed verify forward: B*gamma rows with per-token
+        context lens (reference: TargetModelRunner.prepare_pearl_decode +
+        run_model, :560-596). block_tables is [B, M]; rows are repeated
+        on-device to per-token granularity."""
+        b, g = tokens.shape
+        flat = lambda x: x.reshape(b * g)
+        bt = jnp.repeat(block_tables, g, axis=0)  # [B*G, M]
+        attn = partial(paged_attention, scale=self.scale)
+        hidden, kv = forward(
+            self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
+            self.rope_table, attn, (bt, flat(context_lens)),
+        )
+        logits = compute_logits(self.cfg, params, hidden)
+        return kv, logits.reshape(b, g, -1)
+
+    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, key, *, gamma):
+        return verify_verdict(
+            logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos,
+            eos_ids, key, gamma,
+        )
+
+    def _sample_impl(self, logits, temps, key):
+        return sample(logits, temps, key)
+
+    # ------------------------------------------------------------- host API
+
+    def prefill(self, views: list[SeqView], lq_pad: int, b_pad: int, m_pad: int):
+        """Returns logits [b_pad, V] (device, async)."""
+        bs = self.block_size
+        b = len(views)
+        tokens = np.zeros((b_pad, lq_pad), np.int32)
+        positions = np.zeros((b_pad, lq_pad), np.int32)
+        q_positions = np.full((b_pad, lq_pad), -1, np.int32)
+        slots = np.full((b_pad, lq_pad), self.garbage_block * bs, np.int32)
+        block_tables = np.full((b_pad, m_pad), self.garbage_block, np.int32)
+        sel_rows = np.zeros((b_pad,), np.int32)
+        for i, v in enumerate(views):
+            start = v.num_cached_tokens
+            new = v.token_ids[start:]
+            n = len(new)
+            assert 0 < n <= lq_pad
+            tokens[i, :n] = new
+            positions[i, :n] = np.arange(start, start + n)
+            q_positions[i, :n] = positions[i, :n]
+            slots[i, :n] = [v.token_to_slot(t) for t in range(start, start + n)]
+            block_tables[i, : len(v.block_table)] = v.block_table
+            sel_rows[i] = i * lq_pad + n - 1
+        self.kv, logits = self._jit_prefill(
+            self.params, self.kv, tokens.reshape(-1), positions.reshape(-1),
+            slots.reshape(-1), block_tables, q_positions, sel_rows,
+        )
+        return logits
+
+    def _decode_arrays(self, views: list[SeqView], b_pad: int, m_pad: int, with_slots: bool):
+        bs = self.block_size
+        tokens = np.zeros((b_pad,), np.int32)
+        positions = np.zeros((b_pad,), np.int32)
+        context_lens = np.ones((b_pad,), np.int32)
+        block_tables = np.full((b_pad, m_pad), self.garbage_block, np.int32)
+        slots = np.full((b_pad,), self.garbage_block * bs, np.int32)
+        for i, v in enumerate(views):
+            n = len(v)
+            tokens[i] = v.last_token
+            positions[i] = n - 1
+            context_lens[i] = n
+            block_tables[i, : len(v.block_table)] = v.block_table
+            if with_slots:
+                slots[i] = v.token_to_slot(n - 1)
+        return tokens, positions, context_lens, block_tables, slots
+
+    def decode(self, views: list[SeqView], b_pad: int, m_pad: int):
+        """One AR decode step (reference: prepare_decode + run_model,
+        :220-236, :245-262). Returns logits [b_pad, V] (device, async)."""
+        tokens, positions, context_lens, block_tables, slots = self._decode_arrays(
+            views, b_pad, m_pad, with_slots=True
+        )
+        self.kv, logits = self._jit_decode(
+            self.params, self.kv, tokens, positions, slots, block_tables, context_lens
+        )
+        return logits
+
+    def gamma_scan(self, views: list[SeqView], gamma: int, b_pad: int, m_pad: int):
+        """Dispatch the draft round; returns draft tokens [gamma, b_pad]
+        (device, async). Block tables must already cover len+gamma tokens
+        (Scheduler.schedule_decode lookahead)."""
+        tokens, positions, context_lens, block_tables, _ = self._decode_arrays(
+            views, b_pad, m_pad, with_slots=False
+        )
+        self.kv, toks = self._jit_gamma(
+            self.params, self.kv, tokens, positions, block_tables, context_lens,
+            gamma=gamma,
+        )
+        return toks
+
+    def verify_forward(self, views: list[SeqView], is_pre: np.ndarray, gamma: int, b_pad: int, m_pad: int):
+        """Dispatch the target's packed forward; returns logits
+        [b_pad, gamma, V] (device, async). Row j of sequence i holds the
+        logits after target token (len - num_input + j)."""
+        bs = self.block_size
+        tokens = np.zeros((b_pad, gamma), np.int32)
+        positions = np.zeros((b_pad, gamma), np.int32)
+        context_lens = np.ones((b_pad, gamma), np.int32)
+        slots = np.full((b_pad, gamma), self.garbage_block * bs, np.int32)
+        block_tables = np.full((b_pad, m_pad), self.garbage_block, np.int32)
+        for i, v in enumerate(views):
+            num_input = 1 if is_pre[i] else gamma
+            n = len(v)
+            toks = v.token_ids[n - num_input :]
+            tokens[i, :num_input] = toks
+            pos = np.arange(n - num_input, n)
+            positions[i, :num_input] = pos
+            context_lens[i, :num_input] = pos + 1
+            slots[i, :num_input] = [v.token_to_slot(p) for p in pos]
+            block_tables[i, : len(v.block_table)] = v.block_table
+        self.kv, logits = self._jit_verify_fwd(
+            self.params, self.kv, tokens, positions, slots, block_tables, context_lens
+        )
+        return logits
+
+    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, key, gamma: int):
+        eos_ids = np.asarray(self.cfg.eos_ids, np.int32)
+        return self._jit_verdict(
+            logits, jnp.asarray(tbv), jnp.asarray(is_pre), jnp.asarray(temps),
+            jnp.asarray(num_completion), jnp.asarray(max_tokens),
+            jnp.asarray(ignore_eos), jnp.asarray(eos_ids), key, gamma=gamma,
+        )
+
+    def sample_tokens(self, logits, temps: np.ndarray, key) -> jax.Array:
+        return self._jit_sample(logits, jnp.asarray(temps, np.float32), key)

@@ -1,0 +1,129 @@
+"""Request scheduler (reference: nano_pearl/pearl_engine/scheduler.py).
+
+Single-controller redesign: the reference replicates an identical
+scheduler into every worker and relies on deterministic replay for
+coherence; here ONE scheduler coordinates both model groups' block
+managers, so admission decisions are consistent by construction. A
+sequence is admitted only when BOTH groups can allocate its prompt
+blocks (the reference implicitly assumes this because each replica
+checks its own pool and they must agree).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from nano_pearl_tpu.config import PearlConfig
+from nano_pearl_tpu.engine.block_manager import BlockManager
+from nano_pearl_tpu.engine.sequence import Sequence, SequenceStatus
+from nano_pearl_tpu.utils.logging import logger
+
+
+def is_eos(token_id: int, eos_ids: list[int]) -> bool:
+    return token_id in eos_ids
+
+
+class Scheduler:
+    def __init__(self, config: PearlConfig, draft_blocks: int, target_blocks: int):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        self.block_size = config.kvcache_block_size
+        self.draft_bm = BlockManager(draft_blocks, self.block_size)
+        self.target_bm = BlockManager(target_blocks, self.block_size)
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.finished: list[Sequence] = []
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence):
+        self.waiting.append(seq)
+
+    # ---- prefill admission (reference: scheduler.py:32-51) ----
+    def schedule_prefill(self) -> list[Sequence]:
+        scheduled: list[Sequence] = []
+        num_tokens = 0
+        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+            seq = self.waiting[0]
+            new_tokens = len(seq.target)  # upper bound; prefix hits reduce it
+            if num_tokens + new_tokens > self.max_num_batched_tokens:
+                break
+            if not (self.draft_bm.can_allocate(seq.draft) and self.target_bm.can_allocate(seq.target)):
+                logger.warning("prefill admission blocked: out of KV blocks")
+                break
+            self.draft_bm.allocate(seq.draft)
+            self.target_bm.allocate(seq.target)
+            num_tokens += max(
+                len(seq.draft) - seq.draft.num_cached_tokens,
+                len(seq.target) - seq.target.num_cached_tokens,
+            )
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled.append(seq)
+        return scheduled
+
+    # ---- AR decode batch with preemption (reference: scheduler.py:53-67) ----
+    def schedule_decode(self, lookahead: int = 1) -> list[Sequence]:
+        scheduled: list[Sequence] = []
+        batch = list(self.running)
+        for seq in batch:
+            if seq.status != SequenceStatus.RUNNING:
+                continue  # preempted as a victim earlier in this pass
+            while not (
+                self.draft_bm.can_ensure(seq.draft, lookahead)
+                and self.target_bm.can_ensure(seq.target, lookahead)
+            ):
+                victim = None
+                for cand in reversed(self.running):
+                    if cand is not seq and cand not in scheduled:
+                        victim = cand
+                        break
+                self.preempt(victim if victim is not None else seq)
+                if victim is None:
+                    break
+            else:
+                self.draft_bm.ensure_capacity(seq.draft, lookahead)
+                self.target_bm.ensure_capacity(seq.target, lookahead)
+                scheduled.append(seq)
+        assert scheduled, "decode scheduled nothing (all sequences preempted)"
+        return scheduled
+
+    def preempt(self, seq: Sequence):
+        seq.status = SequenceStatus.WAITING
+        self.draft_bm.deallocate(seq.draft)
+        self.target_bm.deallocate(seq.target)
+        self.running.remove(seq)
+        self.waiting.appendleft(seq)
+
+    def finish(self, seq: Sequence):
+        seq.status = SequenceStatus.FINISHED
+        self.draft_bm.deallocate(seq.draft)
+        self.target_bm.deallocate(seq.target)
+        self.running.remove(seq)
+        self.finished.append(seq)
+
+    # ---- AR postprocess (reference: scheduler.py:74-81) ----
+    def postprocess_ar(self, seqs: list[Sequence], token_ids: list[int]):
+        """Append one sampled token to the target view (AR mode runs the
+        target model only) and finish on EOS/max_tokens."""
+        for seq, token_id in zip(seqs, token_ids):
+            seq.target.append(token_id)
+            if (not seq.ignore_eos and is_eos(token_id, self.eos)) or (
+                seq.num_completion_tokens == seq.max_tokens
+            ):
+                self.finish(seq)
+
+    def clear(self):
+        """Reference: scheduler.py:86-99."""
+        for q in (list(self.waiting), list(self.running)):
+            for seq in q:
+                self.draft_bm.deallocate(seq.draft)
+                self.target_bm.deallocate(seq.target)
+        self.waiting.clear()
+        self.running.clear()
+        self.finished.clear()
+        self.draft_bm.clear_prefix_cache()
+        self.target_bm.clear_prefix_cache()

@@ -1,0 +1,175 @@
+"""Generic functional decoder-only transformer for the Llama family.
+
+One implementation serves all three reference model definitions
+(reference: nano_pearl/models/llama.py, qwen2.py, qwen3.py — which differ
+only in qkv bias and per-head q/k norms), as pure functions over a
+parameter pytree:
+
+- parameters are stacked across layers (leading ``L`` dim) and the layer
+  stack runs under ``lax.scan`` — one layer is traced/compiled once, the
+  TPU-native replacement for CUDA-graph capture of an unrolled module
+  list (reference: pearl_model_runner.py:264-301).
+- every phase (prefill, decode, PEARL packed verify) uses the same
+  forward: ``N`` flat token rows with per-row position, KV slot, block
+  table and context length (see nano_pearl_tpu/ops/attention.py).
+- tensor parallelism is pure GSPMD: see nano_pearl_tpu/parallel/sharding.py.
+
+Parameter layout (all linear weights stored [in, out] so the forward is
+``x @ w``; HF checkpoints store [out, in] and are transposed at load):
+
+    embed:     [V, H]          layers.wq:   [L, H, Hq*D]
+    final_ln:  [H]             layers.wk/wv:[L, H, Hkv*D]
+    lm_head:   [V, H]          layers.wo:   [L, Hq*D, H]
+    layers.input_ln/post_ln: [L, H]
+    layers.wgate/wup: [L, H, F]   layers.wdown: [L, F, H]
+    layers.bq/bk/bv: [L, Hq*D]/[L, Hkv*D] (qwen2)
+    layers.q_norm/k_norm: [L, D] (qwen3)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nano_pearl_tpu.config import ModelConfig
+from nano_pearl_tpu.ops.kv_cache import write_kv
+from nano_pearl_tpu.ops.rope import apply_rope, build_rope_table
+from nano_pearl_tpu.ops.sampling import mask_invalid_logits
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """fp32 rms, cast back before the weight mul — matches both the
+    reference (layernorm.py:17-25) and HF Llama for bitwise parity."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
+    """Random init (tests / weightless benchmarks). Shapes match the loader."""
+    dt = _dtype(cfg)
+    h, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    d = cfg.head_dim
+    hq, hkv = cfg.num_attention_heads * d, cfg.num_key_value_heads * d
+    v = cfg.vocab_size
+    keys = iter(jax.random.split(key, 16))
+
+    def rnd(*shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "input_ln": jnp.ones((l, h), dt),
+        "wq": rnd(l, h, hq),
+        "wk": rnd(l, h, hkv),
+        "wv": rnd(l, h, hkv),
+        "wo": rnd(l, hq, h),
+        "post_ln": jnp.ones((l, h), dt),
+        "wgate": rnd(l, h, f),
+        "wup": rnd(l, h, f),
+        "wdown": rnd(l, f, h),
+    }
+    if cfg.qkv_bias:
+        layers.update({"bq": rnd(l, hq), "bk": rnd(l, hkv), "bv": rnd(l, hkv)})
+    if cfg.qk_norm:
+        layers.update({"q_norm": jnp.ones((l, d), dt), "k_norm": jnp.ones((l, d), dt)})
+    embed = rnd(v, h)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_ln": jnp.ones((h,), dt),
+        "lm_head": embed if cfg.tie_word_embeddings else rnd(v, h),
+    }
+
+
+def forward(
+    cfg: ModelConfig,
+    params: dict,
+    kv_cache: jax.Array,  # [L, 2, NB+1, BS, Hkv, D]
+    tokens: jax.Array,  # [N] int32
+    positions: jax.Array,  # [N] int32
+    slots: jax.Array,  # [N] int32 flat KV slot per token (garbage block for pads)
+    rope_table: jax.Array,  # [max_pos, D] from build_rope_table
+    attn_fn,  # static: (q [N,Hq,D], layer_cache, *attn_args) -> o [N,Hq,D]
+    attn_args: tuple,  # traced attention metadata (block tables, lens, ...)
+) -> tuple[jax.Array, jax.Array]:
+    """Run the decoder stack; returns (hidden [N, H], updated kv_cache).
+
+    The reference equivalent is {Llama,Qwen2,Qwen3}Model.forward
+    (e.g. llama.py:213-223) with attention metadata carried in a context
+    singleton; here the metadata is explicit arguments and the attention
+    flavor (decode/verify vs prefill, see ops/attention.py) is a static
+    closure.
+    """
+    d = cfg.head_dim
+    n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    eps = cfg.rms_norm_eps
+    qk_norm = cfg.qk_norm
+    qkv_bias = cfg.qkv_bias
+
+    x = params["embed"][tokens]  # [N, H] vocab-sharded gather
+    rope_rows = rope_table[positions]  # [N, D]
+
+    def layer_step(carry, xs):
+        x, res, cache = carry
+        lp, li = xs
+
+        res2 = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+        h1 = rms_norm(res2, lp["input_ln"], eps)
+
+        q = h1 @ lp["wq"]
+        k = h1 @ lp["wk"]
+        v = h1 @ lp["wv"]
+        if qkv_bias:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = q.reshape(-1, n_q, d)
+        k = k.reshape(-1, n_kv, d)
+        v = v.reshape(-1, n_kv, d)
+        if qk_norm:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q = apply_rope(q, rope_rows)
+        k = apply_rope(k, rope_rows)
+
+        layer_cache = jax.lax.dynamic_index_in_dim(cache, li, axis=0, keepdims=False)
+        layer_cache = write_kv(layer_cache, k, v, slots)
+        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_cache, li, axis=0)
+
+        o = attn_fn(q, layer_cache, *attn_args)
+        attn_out = o.reshape(-1, n_q * d) @ lp["wo"]
+
+        res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)
+        h2 = rms_norm(res3, lp["post_ln"], eps)
+        act = jax.nn.silu((h2 @ lp["wgate"]).astype(jnp.float32)).astype(x.dtype) * (
+            h2 @ lp["wup"]
+        )
+        mlp_out = act @ lp["wdown"]
+        return (mlp_out, res3, cache), None
+
+    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    init = (x, jnp.zeros_like(x), kv_cache)
+    (x, res, kv_cache), _ = jax.lax.scan(layer_step, init, (params["layers"], layer_ids))
+
+    final = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+    hidden = rms_norm(final, params["final_ln"], eps)
+    return hidden, kv_cache
+
+
+def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:
+    """LM head over selected rows; padded vocab masked to -inf
+    (reference: embed_head.py:51-75 gathers shards to the master rank and
+    truncates — here the matmul stays sharded and sampling handles the
+    sharded logits directly)."""
+    logits = hidden @ params["lm_head"].T
+    return mask_invalid_logits(logits.astype(jnp.float32), cfg.valid_vocab_size)
+
+
+def make_rope_table(cfg: ModelConfig) -> jax.Array:
+    assert cfg.rope_scaling in (None, {}), (
+        "rope_scaling not yet supported (reference also asserts None: "
+        "rotary_embedding.py:59)"
+    )
+    return build_rope_table(cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta)

@@ -1,0 +1,116 @@
+"""Unified paged attention with per-token context lengths.
+
+One primitive serves every phase of the engine — this is the TPU
+re-design of the reference's three attention paths
+(reference: nano_pearl/layers/attention.py:71-80):
+
+- ragged prefill (``flash_attn_varlen_func``): each new token is a query
+  row whose context length equals its absolute position + 1; its K/V were
+  just scattered into the paged cache, so attending over the paged cache
+  with per-token lens reproduces causal varlen attention, including
+  prefix-cache hits (cached blocks are simply part of the context).
+- paged decode (``flash_attn_with_kvcache``): one query row per sequence,
+  context length = sequence length.
+- PEARL packed verify (reference: pearl_model_runner.py:560-588): gamma
+  query rows per sequence with staircase context lengths — exactly the
+  per-token-lens generality the other two are special cases of.
+
+This module holds the jnp reference implementation (gather + masked
+softmax, fp32 accumulation) which XLA maps onto the MXU; the Pallas
+flash kernel with identical semantics lives in
+nano_pearl_tpu/ops/pallas/ and is selected by ``paged_attention`` when
+enabled.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def paged_attention_jnp(
+    q: jax.Array,  # [N, Hq, D]
+    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    block_tables: jax.Array,  # [N, M] int32 (padded entries may be any valid id)
+    context_lens: jax.Array,  # [N] int32, number of valid KV tokens incl. self
+    scale: float,
+) -> jax.Array:
+    n, hq, d = q.shape
+    _, _, bs, hkv, _ = layer_cache.shape
+    m = block_tables.shape[1]
+    s = m * bs
+    g = hq // hkv
+
+    k = layer_cache[0][block_tables].reshape(n, s, hkv, d)
+    v = layer_cache[1][block_tables].reshape(n, s, hkv, d)
+
+    qg = q.reshape(n, hkv, g, d).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("nkgd,nskd->nkgs", qg, kf) * scale
+
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1) < context_lens[:, None]
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - mx)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(denom, 1e-30)
+
+    out = jnp.einsum("nkgs,nskd->nkgd", p, v.astype(jnp.float32))
+    return out.reshape(n, hq, d).astype(q.dtype)
+
+
+def prefill_attention_jnp(
+    q: jax.Array,  # [N = B*Lq, Hq, D] flat new-token queries, seq-major
+    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    block_tables: jax.Array,  # [B, M] int32, one row per sequence
+    q_positions: jax.Array,  # [B, Lq] int32 absolute positions; -1 = padded row
+    scale: float,
+) -> jax.Array:
+    """Ragged causal prefill over the paged cache.
+
+    Replaces the reference's ``flash_attn_varlen_func`` path including
+    prefix-cache hits (reference: attention.py:71-76): new K/V were just
+    scattered into the cache, so key position ``s`` is visible to the
+    query at absolute position ``p`` iff ``s <= p`` — that single
+    predicate is simultaneously the causal mask, the ragged-length mask,
+    and the prefix-cache read (cached blocks hold s < num_cached).
+    """
+    b, m = block_tables.shape
+    n, hq, d = q.shape
+    lq = n // b
+    _, _, bs, hkv, _ = layer_cache.shape
+    s = m * bs
+    g = hq // hkv
+
+    k = layer_cache[0][block_tables].reshape(b, s, hkv, d).astype(jnp.float32)
+    v = layer_cache[1][block_tables].reshape(b, s, hkv, d).astype(jnp.float32)
+    qb = q.reshape(b, lq, hkv, g, d).astype(jnp.float32)
+
+    scores = jnp.einsum("blkgd,bskd->bklgs", qb, k) * scale
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq, s), 2)
+    visible = kv_pos <= q_positions[:, :, None]  # [B, Lq, S]
+    scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
+
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - mx)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(denom, 1e-30)
+
+    out = jnp.einsum("bklgs,bskd->blkgd", p, v)
+    return out.reshape(n, hq, d).astype(q.dtype)
+
+
+def paged_attention(q, layer_cache, block_tables, context_lens, scale, use_pallas=None):
+    """Dispatch to the Pallas kernel when enabled, else the jnp path."""
+    if use_pallas is None:
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        use_pallas = attention_enabled()
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
+
+        return paged_attention_pallas(q, layer_cache, block_tables, context_lens, scale)
+    return paged_attention_jnp(q, layer_cache, block_tables, context_lens, scale)

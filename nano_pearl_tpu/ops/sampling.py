@@ -1,0 +1,58 @@
+"""Sampling, on-device (reference: nano_pearl/layers/sampler.py).
+
+Improvements over the reference by construction:
+
+- mixed greedy/temperature batches are supported (the reference asserts
+  all-greedy or all-sampled, sampler.py:25-30) — the Gumbel trick with a
+  per-row temperature gate degrades exactly to argmax at T=0.
+- padded-vocab logits are masked here instead of gathered+truncated on a
+  master rank (reference: embed_head.py:70-74) so sampling runs sharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def mask_invalid_logits(logits: jax.Array, valid_vocab: int) -> jax.Array:
+    """-inf the padded vocab tail so padded ids can never be sampled
+    (reference: embed_head.py:74 truncates to valid_vocab_size instead)."""
+    v = logits.shape[-1]
+    if valid_vocab >= v:
+        return logits
+    iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    return jnp.where(iota < valid_vocab, logits, NEG_INF)
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    """Argmax over the last dim (reference: sampler.py:39-40)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample(logits: jax.Array, temperatures: jax.Array, key: jax.Array) -> jax.Array:
+    """Gumbel-max sampling with per-row temperature; T=0 rows are greedy.
+
+    Equivalent in distribution to the reference's exponential-race
+    (sampler.py:32-37): argmax(probs / Exp(1)) == argmax(logits/T + Gumbel).
+    """
+    t = temperatures.reshape(temperatures.shape + (1,) * (logits.ndim - temperatures.ndim))
+    u = jax.random.uniform(key, logits.shape, dtype=jnp.float32, minval=1e-10, maxval=1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    z = logits.astype(jnp.float32) / jnp.maximum(t, 1e-10) + jnp.where(t > 0, gumbel, 0.0)
+    # keep masked (-inf) logits unsamplable even after the gumbel bump
+    z = jnp.where(logits <= NEG_INF / 2, NEG_INF, z)
+    return jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+
+def norm_probs(logits: jax.Array, temperatures: jax.Array) -> jax.Array:
+    """Token probabilities used by the PEARL accept test
+    (reference: sampler.py:7-17 ``norm_logits``): one-hot(argmax) at T=0,
+    softmax(logits/T) otherwise — vectorized over mixed-T rows."""
+    t = temperatures.reshape(temperatures.shape + (1,) * (logits.ndim - temperatures.ndim))
+    lf = logits.astype(jnp.float32)
+    soft = jax.nn.softmax(lf / jnp.maximum(t, 1e-10), axis=-1)
+    hard = jax.nn.one_hot(jnp.argmax(lf, axis=-1), logits.shape[-1], dtype=jnp.float32)
+    return jnp.where(t > 0, soft, hard)

@@ -1,0 +1,73 @@
+"""GSPMD sharding specs for model parameters and KV caches.
+
+TPU-native replacement for the reference's torch TP layer zoo
+(reference: nano_pearl/layers/linear.py, embed_head.py). Instead of
+Column/Row/QKV/MergedColumn parallel modules with explicit NCCL
+all-reduces, every parameter carries a ``PartitionSpec`` over the group
+mesh's ``tp`` axis and XLA inserts the collectives:
+
+- wq/wk/wv, wgate/wup: output-dim sharded  (ColumnParallelLinear, linear.py:67-150)
+- wo, wdown:           input-dim sharded   (RowParallelLinear,    linear.py:153-178;
+                       the trailing all-reduce becomes a GSPMD reduce)
+- embed / lm_head:     vocab-dim sharded   (VocabParallelEmbedding / ParallelLMHead,
+                       embed_head.py:11-75; the masked-embed all-reduce and
+                       the logits gather become GSPMD collectives)
+- norms, rope tables:  replicated
+
+Non-power-of-2 TP needs no special casing here: dims were padded to
+divide ``tp`` in ``ModelConfig.pad_for_tp`` (reference: pearl_config.py:37-67).
+"""
+
+from __future__ import annotations
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nano_pearl_tpu.config import ModelConfig
+from nano_pearl_tpu.parallel.mesh import TP_AXIS, GroupMesh
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpec pytree matching ``models.transformer.init_params``."""
+    t = TP_AXIS
+    layers = {
+        "input_ln": P(),
+        "wq": P(None, None, t),
+        "wk": P(None, None, t),
+        "wv": P(None, None, t),
+        "wo": P(None, t, None),
+        "post_ln": P(),
+        "wgate": P(None, None, t),
+        "wup": P(None, None, t),
+        "wdown": P(None, t, None),
+    }
+    if cfg.qkv_bias:
+        layers.update({"bq": P(None, t), "bk": P(None, t), "bv": P(None, t)})
+    if cfg.qk_norm:
+        layers.update({"q_norm": P(), "k_norm": P()})
+    return {
+        "embed": P(t, None),
+        "layers": layers,
+        "final_ln": P(),
+        "lm_head": P(t, None),
+    }
+
+
+def param_shardings(cfg: ModelConfig, gmesh: GroupMesh) -> dict:
+    import jax
+
+    return jax.tree.map(
+        lambda spec: NamedSharding(gmesh.mesh, spec),
+        param_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def kv_cache_spec() -> P:
+    """KV cache layout [L, 2, num_blocks, block_size, n_kv_heads, head_dim],
+    sharded over kv heads (each TP shard owns its heads' cache —
+    reference: pearl_model_runner.py:125,134 shards kv heads per rank)."""
+    return P(None, None, None, None, TP_AXIS, None)
+
+
+def kv_cache_sharding(gmesh: GroupMesh) -> NamedSharding:
+    return NamedSharding(gmesh.mesh, kv_cache_spec())
