@@ -103,6 +103,12 @@ class BlockManager:
                 blk.token_ids = toks
                 self.hash_to_block[h] = blk.block_id
             view.block_table.append(blk.block_id)
+        if view.num_cached_tokens == len(view):
+            # fully-cached prompt: force at least the last block through
+            # prefill so there is a query row to sample from (the
+            # reference never hits this because its last block is full
+            # only when hashes diverge; our guard makes it explicit)
+            view.num_cached_tokens -= self.block_size
 
     def deallocate(self, view: SeqView):
         for block_id in reversed(view.block_table):

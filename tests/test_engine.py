@@ -1,0 +1,144 @@
+"""End-to-end engine behavior: the PEARL==AR greedy losslessness
+invariant (SURVEY.md §4 point 1), bench mode, prefix caching, TP."""
+
+import numpy as np
+import pytest
+
+from nano_pearl_tpu import PearlEngine
+from nano_pearl_tpu.config import SamplingParams
+
+from helpers import tiny_model_config, tiny_pearl_config
+
+PROMPTS = [
+    [1, 2, 3, 4, 5],
+    [9, 8, 7],
+    [100, 101, 102, 103, 104, 105, 106],
+    [42],
+]
+
+
+def _add_all(eng, max_tokens=16, temperature=0.0):
+    for p in PROMPTS:
+        eng.add_request(p, SamplingParams(temperature=temperature, max_tokens=max_tokens))
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return PearlEngine(tiny_pearl_config())
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4])
+def test_pearl_equals_ar_greedy(engine, gamma):
+    """Lossless speculative decoding: at T=0 the PEARL token stream must
+    equal target-only greedy decoding, whatever the draft proposes
+    (reference validation strategy, bench.py / SURVEY.md §4)."""
+    engine.config.gamma = gamma
+    _add_all(engine)
+    pearl, n_pearl, acc, _ = engine.generate_token_ids()
+    _add_all(engine)
+    ar, n_ar, _, _ = engine.AR_generate_token_ids()
+    assert pearl == ar
+    assert n_pearl == [16] * len(PROMPTS)
+    assert all(len(a) >= 1 for a in acc)
+
+
+def test_eos_stops_generation():
+    """The committed stream stops on EOS when ignore_eos is False."""
+    eng = PearlEngine(tiny_pearl_config())
+    eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=64))
+    out, n, _, _ = eng.generate_token_ids()
+    eos = eng.config.eos
+    cut = [i for i, t in enumerate(out[0]) if t in eos]
+    if cut:  # random model did emit eos: everything after must be absent
+        assert cut[0] == len(out[0]) - 1
+    eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True))
+    out2, n2, _, _ = eng.generate_token_ids()
+    assert n2 == [64]
+
+
+def test_bench_generate_fixed_steps(engine):
+    engine.config.gamma = 3
+    _add_all(engine, max_tokens=8)  # bench overrides max_tokens/eos
+    out, n, acc, elapsed = engine.bench_generate(num_pearl_steps=12)
+    assert len(out) == len(PROMPTS)
+    # every sequence survived all 12 rounds (none finished early)
+    assert all(v >= 12 for v in n)
+    assert elapsed > 0
+
+
+def test_mat_accounting(engine):
+    """num_acc_tokens counts verified tokens: everything emitted except
+    the unverified prefill token and (on an accept-finish) the trailing
+    unverified window (reference semantics: cur_acc_tokens/num_acc_tokens,
+    pearl_model_runner.py:626-656,688-694)."""
+    gamma = 2
+    engine.config.gamma = gamma
+    _add_all(engine, max_tokens=12)
+    out, n, acc, _ = engine.generate_token_ids()
+    for tokens, accs in zip(out, acc):
+        assert len(tokens) - gamma - 1 <= sum(accs) <= len(tokens)
+
+
+def test_prefix_cache_within_batch(engine):
+    """Identical prompts in one batch share prompt KV blocks
+    (reference: hash-based prefix cache, block_manager.py:56-82)."""
+    engine.config.gamma = 2
+    long_prompt = list(range(1, 40))  # spans 2 full 16-blocks
+    engine.add_request(long_prompt, SamplingParams(temperature=0.0, max_tokens=4))
+    engine.add_request(long_prompt, SamplingParams(temperature=0.0, max_tokens=4))
+    out, n, _, _ = engine.generate_token_ids()
+    assert out[0] == out[1]
+
+
+def test_temperature_sampling_differs_and_completes(engine):
+    engine.config.gamma = 2
+    _add_all(engine, max_tokens=10, temperature=1.0)
+    out, n, _, _ = engine.generate_token_ids()
+    assert n == [10] * len(PROMPTS)
+
+
+def test_identical_models_accept_everything():
+    """Draft == target (weights shared) at T=0 must accept every window
+    (the BASELINE.json config-0 scenario)."""
+    cfg = tiny_pearl_config(gamma=4)
+    eng = PearlEngine(cfg)
+    eng2 = PearlEngine(cfg, draft_params=eng.target.params, target_params=eng.target.params)
+    eng2.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=32, ignore_eos=True))
+    out, n, acc, _ = eng2.bench_generate(num_pearl_steps=5)
+    # after the first (pre-verify) round every round accepts gamma tokens
+    assert bool(np.all(np.asarray(acc[0][:-1]) >= 1))
+    mat = sum(acc[0]) / len(acc[0])
+    assert mat > 2.0, f"MAT {mat} too low for identical models"
+
+
+def test_tp_sharded_engine_matches_tp1(tmp_path):
+    """TP-sharded generation (incl. non-power-of-2 target TP) must match
+    TP=1 given the same checkpoint; also exercises the path-based flow
+    (config.json parse + safetensors load + pad + shard)."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    def mk(path, hidden, heads, kv):
+        torch.manual_seed(hash(path) % 2**31)
+        cfg = transformers.LlamaConfig(
+            hidden_size=hidden, intermediate_size=hidden * 2, num_hidden_layers=2,
+            num_attention_heads=heads, num_key_value_heads=kv, vocab_size=211,
+            max_position_embeddings=256, torch_dtype="float32",
+        )
+        transformers.AutoModelForCausalLM.from_config(cfg).float().save_pretrained(str(path))
+        return str(path)
+
+    d_path = mk(tmp_path / "draft", 64, 4, 2)
+    t_path = mk(tmp_path / "target", 96, 6, 3)
+
+    outs = []
+    for dtp, ttp in ((1, 1), (2, 3)):
+        eng = PearlEngine(
+            tiny_pearl_config(draft=d_path, target=t_path, draft_tp=dtp, target_tp=ttp)
+        )
+        eng.add_request([1, 2, 3, 4], SamplingParams(temperature=0.0, max_tokens=12))
+        out, _, _, _ = eng.generate_token_ids()
+        outs.append(out)
+    assert outs[0] == outs[1]

@@ -1,0 +1,82 @@
+"""Scheduler admission / preemption (reference: scheduler.py:32-67)."""
+
+import pytest
+
+from nano_pearl_tpu.config import SamplingParams
+from nano_pearl_tpu.engine.scheduler import Scheduler
+from nano_pearl_tpu.engine.sequence import Sequence, SequenceStatus
+
+from helpers import tiny_pearl_config
+
+BS = 16
+
+
+def mk_sched(draft_blocks=16, target_blocks=16, **over):
+    cfg = tiny_pearl_config(**over)
+    return cfg, Scheduler(cfg, draft_blocks, target_blocks)
+
+
+_uniq = iter(range(10**6))
+
+
+def seq(n, cfg, max_tokens=8):
+    # distinct prompts — identical prompts would prefix-cache-share blocks
+    base = next(_uniq) * 1000
+    return Sequence([base + i for i in range(n)], SamplingParams(max_tokens=max_tokens), cfg.kvcache_block_size)
+
+
+def test_prefill_admission_respects_token_budget():
+    cfg, sch = mk_sched(
+        draft_blocks=64, target_blocks=64, max_num_batched_tokens=256, max_model_len=256
+    )
+    for _ in range(4):
+        sch.add(seq(100, cfg))
+    first = sch.schedule_prefill()
+    assert len(first) == 2  # 100+100 <= 256, third would exceed
+    second = sch.schedule_prefill()
+    assert len(second) == 2
+
+
+def test_prefill_admission_respects_blocks():
+    cfg, sch = mk_sched(draft_blocks=4, target_blocks=64)
+    for _ in range(3):
+        sch.add(seq(40, cfg))  # 3 blocks each
+    admitted = sch.schedule_prefill()
+    assert len(admitted) == 1  # only 4 draft blocks available
+
+
+def test_decode_preempts_when_blocks_exhausted():
+    cfg, sch = mk_sched(draft_blocks=6, target_blocks=6)
+    a, b = seq(40, cfg), seq(40, cfg)  # 3 blocks each → pool full
+    sch.add(a)
+    sch.add(b)
+    assert len(sch.schedule_prefill()) == 2
+    # force growth beyond the pool: lookahead spanning a new block
+    batch = sch.schedule_decode(lookahead=BS + 1)
+    assert len(batch) == 1
+    assert batch[0] is a
+    assert b.status == SequenceStatus.WAITING  # preempted, blocks freed
+
+
+def test_finish_releases_blocks():
+    cfg, sch = mk_sched()
+    s = seq(40, cfg)
+    sch.add(s)
+    sch.schedule_prefill()
+    used_d = sch.draft_bm.num_free_blocks
+    sch.finish(s)
+    assert s.status == SequenceStatus.FINISHED
+    assert sch.draft_bm.num_free_blocks > used_d
+    assert s in sch.finished
+
+
+def test_clear_resets_everything():
+    cfg, sch = mk_sched()
+    for _ in range(3):
+        sch.add(seq(20, cfg))
+    sch.schedule_prefill()
+    sch.clear()
+    assert sch.is_finished()
+    assert sch.draft_bm.num_free_blocks == 16
+    assert sch.target_bm.num_free_blocks == 16
+    assert not sch.draft_bm.hash_to_block
