@@ -1,0 +1,195 @@
+"""Throughput benchmark: PEARL vs target-only AR on the local chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Counterpart of the reference bench (reference: bench.py — warmup,
+fixed-step ``bench_generate``, AR baseline, speedup). With no trained
+checkpoints in this environment, the default scenario builds a
+*layer-share pair*: the draft is an N-layer model and the target extends
+the same weights with residual-passthrough layers (wo = wdown = 0), so
+
+- target logits == draft logits bitwise → acceptance behaves exactly as
+  a perfectly-aligned draft (MAT == gamma at T=0), while
+- the target genuinely costs target_layers/draft_layers x the draft's
+  FLOPs/bytes — the compute asymmetry PEARL exploits is real.
+
+This measures true engine throughput (real forwards, packed verify,
+verdict, rollback bookkeeping) at the acceptance ceiling. Pass
+--draft-model/--target-model checkpoint dirs to bench real weight pairs
+instead. Use --ratio-draft-speed to sanity-check the layer ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="nano-pearl-tpu benchmark")
+    p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--steps", type=int, default=25, help="fixed PEARL steps to time")
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--ar-max-tokens", type=int, default=64)
+    p.add_argument("--hidden", type=int, default=896)
+    p.add_argument("--ffn", type=int, default=4864)
+    p.add_argument("--heads", type=int, default=14)
+    p.add_argument("--kv-heads", type=int, default=2)
+    p.add_argument("--vocab", type=int, default=151936)
+    p.add_argument("--draft-layers", type=int, default=4)
+    p.add_argument("--target-layers", type=int, default=24)
+    p.add_argument("--draft-model", type=str, default=None, help="checkpoint dir")
+    p.add_argument("--target-model", type=str, default=None, help="checkpoint dir")
+    p.add_argument("--draft-tp", type=int, default=1)
+    p.add_argument("--target-tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p.parse_args()
+
+
+def build_layer_share_pair(mc_draft, mc_target, seed):
+    """Draft params + identity-extended target params (see module doc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nano_pearl_tpu.models.transformer import init_params
+
+    dp = init_params(mc_draft, jax.random.key(seed))
+    ext = init_params(
+        mc_target, jax.random.key(seed + 1)
+    )  # donor for the extension layers
+    ld, lt = mc_draft.num_hidden_layers, mc_target.num_hidden_layers
+    assert lt > ld
+
+    tp_layers = {}
+    for k, v in dp["layers"].items():
+        extension = ext["layers"][k][: lt - ld]
+        if k in ("wo", "wdown"):
+            extension = jnp.zeros_like(extension)  # residual passthrough
+        tp_layers[k] = jnp.concatenate([v, extension], axis=0)
+    tp = {
+        "embed": dp["embed"],
+        "layers": tp_layers,
+        "final_ln": dp["final_ln"],
+        "lm_head": dp["lm_head"],
+    }
+    return dp, tp
+
+
+def main():
+    args = parse_args()
+    if args.quick:
+        args.batch = min(args.batch, 4)
+        args.hidden, args.ffn, args.heads, args.kv_heads = 256, 1024, 4, 2
+        args.vocab = 8192
+        args.draft_layers, args.target_layers = 2, 6
+        args.steps = 6
+        args.prompt_len = 16
+        args.ar_max_tokens = 12
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
+
+    def mc(layers):
+        return ModelConfig(
+            architecture="LlamaForCausalLM",
+            hidden_size=args.hidden,
+            intermediate_size=args.ffn,
+            num_hidden_layers=layers,
+            num_attention_heads=args.heads,
+            num_key_value_heads=args.kv_heads,
+            vocab_size=args.vocab,
+            eos_token_id=1,
+            dtype="bfloat16" if not args.cpu else "float32",
+            max_position_embeddings=2048,
+        )
+
+    if args.draft_model and args.target_model:
+        draft_model, target_model = args.draft_model, args.target_model
+        dparams = tparams = None
+        scenario = "checkpoints"
+    else:
+        draft_model, target_model = mc(args.draft_layers), mc(args.target_layers)
+        dparams, tparams = build_layer_share_pair(draft_model, target_model, args.seed)
+        scenario = f"layer-share {args.draft_layers}L/{args.target_layers}L"
+
+    max_len = max(256, 1 << (args.prompt_len + args.steps * (args.gamma + 1) + 64).bit_length())
+    cfg = PearlConfig(
+        draft_model=draft_model,
+        target_model=target_model,
+        draft_tp=args.draft_tp,
+        target_tp=args.target_tp,
+        max_model_len=max_len,
+        max_num_batched_tokens=max(16384, args.batch * args.prompt_len),
+        kvcache_block_size=64,
+        num_kvcache_blocks=args.batch * (max_len // 64) + 8,
+        gamma=args.gamma,
+        max_num_seqs=max(args.batch, 8),
+        seed=args.seed,
+    )
+    engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
+
+    rng = np.random.default_rng(args.seed)
+
+    def add_requests(n=None):
+        for _ in range(n or args.batch):
+            prompt = rng.integers(2, args.vocab - 1, args.prompt_len).tolist()
+            engine.add_request(
+                prompt,
+                SamplingParams(temperature=0.0, max_tokens=args.ar_max_tokens, ignore_eos=True),
+            )
+
+    # ---- warmup: compile every program (reference: bench.py warmup pass)
+    add_requests(min(args.batch, args.batch))
+    engine.bench_generate(num_pearl_steps=2)
+    add_requests()
+    engine.AR_generate_token_ids()
+
+    # ---- PEARL fixed-step measurement
+    add_requests()
+    _, num_tokens, num_acc, pearl_t = engine.bench_generate(num_pearl_steps=args.steps)
+    pearl_tokens = sum(num_tokens)
+    pearl_tps = pearl_tokens / pearl_t
+    mats = [sum(a) / max(1, len(a)) for a in num_acc]
+    mat = float(np.mean(mats))
+
+    # ---- AR baseline
+    add_requests()
+    _, ar_tokens, _, ar_t = engine.AR_generate_token_ids()
+    ar_total = sum(ar_tokens)
+    ar_tps = ar_total / ar_t
+
+    speedup = pearl_tps / ar_tps
+    result = {
+        "metric": "pearl_speedup_vs_ar",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / 3.06, 3),  # reference headline 3.06x (README.md:100)
+        "pearl_tok_s": round(pearl_tps, 1),
+        "ar_tok_s": round(ar_tps, 1),
+        "mat": round(mat, 2),
+        "gamma": args.gamma,
+        "batch": args.batch,
+        "scenario": scenario,
+        "devices": len(set(jax.devices())),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,13 +50,13 @@ class PearlOrchestrator:
         self.draft = draft
         self.target = target
         self.scheduler = scheduler
-        self.key = jax.random.key(pcfg.seed)
+        self._seed_counter = pcfg.seed * 1_000_003
         self._round = 0
         self.gamma_list: dict[int, int] | None = None
 
-    def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
+    def _next_seed(self) -> int:
+        self._seed_counter += 1
+        return self._seed_counter
 
     def _sync(self):
         """Block until both groups' device state is final (the timing
@@ -103,10 +103,10 @@ class PearlOrchestrator:
             )
             if not target_only:
                 toks_d = np.asarray(
-                    self.draft.sample_tokens(logits_d, temps, self._next_key())
+                    self.draft.sample_tokens(logits_d, temps, self._next_seed())
                 )
             toks_t = np.asarray(
-                self.target.sample_tokens(logits_t, temps, self._next_key())
+                self.target.sample_tokens(logits_t, temps, self._next_seed())
             )
             for i, seq in enumerate(seqs):
                 if not target_only:
@@ -174,7 +174,7 @@ class PearlOrchestrator:
             temps[i] = s.temperature
         res = self.target.verdict(
             logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
-            ignore_eos, self._next_key(), gamma,
+            ignore_eos, self._next_seed(), gamma,
         )
 
         # 7: fetch the 5 verdict vectors
@@ -286,7 +286,7 @@ class PearlOrchestrator:
             logits = self.target.decode(views, b_pad, self._m_pad(views))
             temps = np.zeros((b_pad,), np.float32)
             temps[:b] = [s.temperature for s in seqs]
-            toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_key()))
+            toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_seed()))
             self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
         self._sync()
         return time.perf_counter() - start

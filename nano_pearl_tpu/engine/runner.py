@@ -74,8 +74,9 @@ class GroupRunner:
             logger.warning(f"[{self.name}] no checkpoint path; random-initializing weights")
             with gmesh.mesh:
                 self.params = jax.jit(
-                    partial(init_params, mcfg), out_shardings=shardings
-                )(jax.random.key(seed))
+                    lambda s: init_params(mcfg, jax.random.key(s)),
+                    out_shardings=shardings,
+                )(np.int64(seed))
         self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
 
         self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
@@ -196,14 +197,17 @@ class GroupRunner:
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)
 
-    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, key, *, gamma):
+    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, seed, *, gamma):
+        # seed -> key inside the jit so inputs stay device-neutral (host
+        # ints place onto this group's mesh; a pre-committed key from the
+        # default backend would conflict with CPU-mesh dry runs)
         return verify_verdict(
             logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos,
-            eos_ids, key, gamma,
+            eos_ids, jax.random.key(seed), gamma,
         )
 
-    def _sample_impl(self, logits, temps, key):
-        return sample(logits, temps, key)
+    def _sample_impl(self, logits, temps, seed):
+        return sample(logits, temps, jax.random.key(seed))
 
     # ------------------------------------------------------------- host API
 
@@ -300,13 +304,12 @@ class GroupRunner:
         )
         return logits
 
-    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, key, gamma: int):
+    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int):
         eos_ids = np.asarray(self.cfg.eos_ids, np.int32)
         return self._jit_verdict(
-            logits, jnp.asarray(tbv), jnp.asarray(is_pre), jnp.asarray(temps),
-            jnp.asarray(num_completion), jnp.asarray(max_tokens),
-            jnp.asarray(ignore_eos), jnp.asarray(eos_ids), key, gamma=gamma,
+            logits, tbv, is_pre, temps, num_completion, max_tokens,
+            ignore_eos, eos_ids, np.int64(seed), gamma=gamma,
         )
 
-    def sample_tokens(self, logits, temps: np.ndarray, key) -> jax.Array:
-        return self._jit_sample(logits, jnp.asarray(temps, np.float32), key)
+    def sample_tokens(self, logits, temps: np.ndarray, seed: int) -> jax.Array:
+        return self._jit_sample(logits, np.asarray(temps, np.float32), np.int64(seed))

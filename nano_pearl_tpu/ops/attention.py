@@ -110,7 +110,10 @@ def paged_attention(q, layer_cache, block_tables, context_lens, scale, use_palla
 
         use_pallas = attention_enabled()
     if use_pallas:
-        from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
-
-        return paged_attention_pallas(q, layer_cache, block_tables, context_lens, scale)
+        try:
+            from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
+        except ImportError:
+            pass
+        else:
+            return paged_attention_pallas(q, layer_cache, block_tables, context_lens, scale)
     return paged_attention_jnp(q, layer_cache, block_tables, context_lens, scale)
