@@ -173,6 +173,15 @@ class PearlConfig:
     gamma: int = -1  # -1: auto profile (reference: pearl_config.py:84)
     seed: int = 0
     dtype: str = "bfloat16"
+    # "overlap": per-round host loop, draft/target programs dispatched
+    #   concurrently on disjoint sub-meshes (the reference's two-process
+    #   concurrency, single-controller style).
+    # "fused": the whole multi-round loop compiled into one program with
+    #   an on-device state machine — zero host syncs per round. Requires
+    #   both groups on the same device set (single chip or union
+    #   placement).
+    # "auto": fused when device sets coincide, else overlap.
+    execution_mode: str = "auto"
     # Static-shape buckets replacing CUDA-graph capture buckets
     # (reference: pearl_model_runner.py:276).
     decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)

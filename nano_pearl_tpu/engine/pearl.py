@@ -54,6 +54,19 @@ class PearlOrchestrator:
         self._round = 0
         self.gamma_list: dict[int, int] | None = None
 
+        from nano_pearl_tpu.engine.fused import FusedPearl
+
+        self.fused: FusedPearl | None = None
+        if pcfg.execution_mode in ("auto", "fused"):
+            if FusedPearl.compatible(draft, target):
+                self.fused = FusedPearl(pcfg, draft, target)
+                logger.info("fused on-device loop enabled (shared device set)")
+            elif pcfg.execution_mode == "fused":
+                raise ValueError(
+                    "execution_mode='fused' needs draft and target on the "
+                    "same device set; use 'overlap' for disjoint sub-meshes"
+                )
+
     def _next_seed(self) -> int:
         self._seed_counter += 1
         return self._seed_counter
@@ -101,16 +114,20 @@ class PearlOrchestrator:
                 b_pad,
                 self._m_pad([s.target for s in seqs]),
             )
-            if not target_only:
-                toks_d = np.asarray(
-                    self.draft.sample_tokens(logits_d, temps, self._next_seed())
-                )
             toks_t = np.asarray(
                 self.target.sample_tokens(logits_t, temps, self._next_seed())
             )
+            # The committed (target) sample seeds BOTH streams. The reference
+            # has each group sample its own first token (:313-314) because
+            # its processes cannot cheaply share it — leaving an unverified
+            # draft-only token at the first completion position forever.
+            # Single-controller, we condition the draft on the committed
+            # token instead: draft and target streams are then identical
+            # after every verify-apply (the invariant the fused on-device
+            # loop relies on).
             for i, seq in enumerate(seqs):
                 if not target_only:
-                    seq.draft.append(int(toks_d[i]))
+                    seq.draft.append(int(toks_t[i]))
                 seq.target.append(int(toks_t[i]))
             # finish check on the committed stream (reference: postprocess,
             # scheduler.py:74-81)
@@ -247,8 +264,11 @@ class PearlOrchestrator:
         start = time.perf_counter()
         self.prefill_all()
         gamma = self._pick_gamma() if self.scheduler.running else 1
-        while not self.scheduler.is_finished():
-            self.pearl_round(gamma)
+        if self.fused is not None:
+            self._fused_pearl_run(gamma, num_steps=None)
+        else:
+            while not self.scheduler.is_finished():
+                self.pearl_round(gamma)
         self._sync()
         return time.perf_counter() - start
 
@@ -262,8 +282,11 @@ class PearlOrchestrator:
             seq.max_tokens = 10**9
             seq.ignore_eos = True
         gamma = self._pick_gamma() if self.scheduler.running else 1
-        for _ in range(num_pearl_steps):
-            self.pearl_round(gamma)
+        if self.fused is not None:
+            self._fused_pearl_run(gamma, num_steps=num_pearl_steps)
+        else:
+            for _ in range(num_pearl_steps):
+                self.pearl_round(gamma)
         self._sync()
         elapsed = time.perf_counter() - start
         # acc counters of still-running seqs (reference: :466-468)
@@ -278,18 +301,157 @@ class PearlOrchestrator:
         group but discards its output; we skip that waste)."""
         start = time.perf_counter()
         self.prefill_all(target_only=True)
-        while not self.scheduler.is_finished():
-            seqs = self.scheduler.schedule_decode(lookahead=1)
-            b = len(seqs)
-            b_pad = self.pcfg.bucket_batch(b)
-            views = [s.target for s in seqs]
-            logits = self.target.decode(views, b_pad, self._m_pad(views))
-            temps = np.zeros((b_pad,), np.float32)
-            temps[:b] = [s.temperature for s in seqs]
-            toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_seed()))
-            self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
+        if self.fused is not None:
+            self._fused_ar_run()
+        else:
+            while not self.scheduler.is_finished():
+                seqs = self.scheduler.schedule_decode(lookahead=1)
+                b = len(seqs)
+                b_pad = self.pcfg.bucket_batch(b)
+                views = [s.target for s in seqs]
+                logits = self.target.decode(views, b_pad, self._m_pad(views))
+                temps = np.zeros((b_pad,), np.float32)
+                temps[:b] = [s.temperature for s in seqs]
+                toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_seed()))
+                self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
         self._sync()
         return time.perf_counter() - start
+
+    # ------------------------------------------------------ fused execution
+
+    def _build_fused_state(self, seqs, cap_fn, ar_only: bool = False) -> dict:
+        """Materialize the device state machine for the fused loop.
+        ``cap_fn(seq)`` = tokens of growth to pre-reserve blocks for (the
+        fused program cannot call the host allocator mid-loop, so growth
+        is reserved up front — the device-side analogue of the lookahead
+        in schedule_decode)."""
+        sch = self.scheduler
+        pcfg = self.pcfg
+        b = len(seqs)
+        b_pad = pcfg.bucket_batch(b)
+        lbuf = pcfg.max_model_len + 8 * (pcfg.gamma if pcfg.gamma > 0 else 8) + 64
+
+        for s in seqs:
+            capacity = cap_fn(s)
+            if not ar_only:
+                assert sch.draft_bm.can_ensure(s.draft, capacity), "draft KV pool too small for fused run"
+                sch.draft_bm.ensure_capacity(s.draft, capacity)
+            assert sch.target_bm.can_ensure(s.target, capacity), "target KV pool too small for fused run"
+            sch.target_bm.ensure_capacity(s.target, capacity)
+
+        def tables(views, garbage):
+            m = max(len(v.block_table) for v in views)
+            m = next_pow2(max(m, 8))
+            bt = np.full((b_pad, m), garbage, np.int32)
+            for i, v in enumerate(views):
+                bt[i, : len(v.block_table)] = v.block_table
+            return bt
+
+        tokens = np.zeros((b_pad, lbuf), np.int32)
+        length = np.ones((b_pad,), np.int32)
+        prompt_len = np.ones((b_pad,), np.int32)
+        pre = np.zeros((b_pad,), bool)
+        finished = np.ones((b_pad,), bool)  # padding rows stay finished
+        temps = np.zeros((b_pad,), np.float32)
+        max_tokens = np.full((b_pad,), 2**30, np.int32)
+        ignore_eos = np.ones((b_pad,), bool)
+        cur_acc = np.zeros((b_pad,), np.int32)
+        for i, s in enumerate(seqs):
+            stream = s.target.token_ids
+            tokens[i, : len(stream)] = stream
+            length[i] = len(stream)
+            prompt_len[i] = s.num_prompt_tokens
+            pre[i] = s.pre_verify
+            finished[i] = False
+            temps[i] = s.temperature
+            max_tokens[i] = min(s.max_tokens, 2**30)
+            ignore_eos[i] = s.ignore_eos
+            cur_acc[i] = s.cur_acc_tokens
+        return {
+            "tokens": tokens,
+            "length": length,
+            "pre": pre,
+            "finished": finished,
+            "cur_acc": cur_acc,
+            "emitted": np.zeros((b_pad,), np.int32),
+            "emit_cnt": np.zeros((b_pad,), np.int32),
+            "bt_d": None if ar_only else tables([s.draft for s in seqs], self.draft.garbage_block),
+            "bt_t": tables([s.target for s in seqs], self.target.garbage_block),
+            "temps": temps,
+            "max_tokens": max_tokens,
+            "ignore_eos": ignore_eos,
+            "prompt_len": prompt_len,
+            "eos_ids": np.asarray(self.target.cfg.eos_ids, np.int32),
+        }
+
+    def _fused_pearl_run(self, gamma: int, num_steps: int | None):
+        """Run PEARL to completion (num_steps=None) or for a fixed number
+        of rounds, with at most one host sync per chunk."""
+        sch = self.scheduler
+        seqs = list(sch.running)
+        if not seqs:
+            return
+        if num_steps is not None:
+            rounds_bound = num_steps
+            cap_fn = lambda s: num_steps * gamma + 2 * gamma + 4
+        else:
+            # worst case 1 committed token/round until every row hits its
+            # max_tokens limit; growth is bounded by max_tokens regardless
+            rounds_bound = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
+            cap_fn = lambda s: (s.max_tokens - s.num_completion_tokens) + 2 * gamma + 4
+        state = self._build_fused_state(seqs, cap_fn)
+        remaining = rounds_bound
+        while remaining > 0:
+            chunk = remaining if num_steps is not None else min(remaining, 128)
+            state = self.fused.run_pearl(state, gamma, chunk, self._next_seed() * 100003)
+            remaining -= chunk
+            if remaining > 0 and bool(np.asarray(state["finished"]).all()):
+                break
+        self._fused_sync(seqs, state)
+
+    def _fused_ar_run(self):
+        sch = self.scheduler
+        seqs = list(sch.running)
+        if not seqs:
+            return
+        steps_bound = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
+        state = self._build_fused_state(
+            seqs, lambda s: (s.max_tokens - s.num_completion_tokens) + 2, ar_only=True
+        )
+        remaining = steps_bound
+        while remaining > 0:
+            chunk = min(remaining, 256)
+            state = self.fused.run_ar(state, chunk, self._next_seed() * 100003)
+            remaining -= chunk
+            if bool(np.asarray(state["finished"]).all()):
+                break
+        self._fused_sync(seqs, state, ar_only=True)
+
+    def _fused_sync(self, seqs, state, ar_only: bool = False):
+        """Pull the device state machine back into host Sequence objects."""
+        sch = self.scheduler
+        tokens = np.asarray(state["tokens"])
+        length = np.asarray(state["length"])
+        finished = np.asarray(state["finished"])
+        if not ar_only:
+            pre = np.asarray(state["pre"])
+            cur_acc = np.asarray(state["cur_acc"])
+            emitted = np.asarray(state["emitted"]).astype(np.float64)
+            emit_cnt = np.asarray(state["emit_cnt"])
+        for i, seq in enumerate(seqs):
+            stream = tokens[i, : int(length[i])].tolist()
+            seq.target.token_ids = stream
+            if not ar_only:
+                seq.draft.token_ids = list(stream)
+                seq.pre_verify = bool(pre[i])
+                seq.cur_acc_tokens = int(cur_acc[i])
+                tot, cnt = float(emitted[i]), int(emit_cnt[i])
+                if cnt:
+                    # per-emit values are not materialized on device; a
+                    # flat split preserves sum and count (=> exact MAT)
+                    seq.num_acc_tokens.extend([tot / cnt] * cnt)
+            if finished[i]:
+                sch.finish(seq)
 
     # --------------------------------------------------------- auto gamma
 

@@ -1,0 +1,155 @@
+"""Pallas TPU paged attention (decode / packed-verify path).
+
+Speed-of-light replacement for the jnp gather implementation in
+nano_pearl_tpu/ops/attention.py (the TPU counterpart of the reference's
+``flash_attn_with_kvcache`` paged decode, reference:
+nano_pearl/layers/attention.py:78-80, and of the packed multi-token
+verify forward, reference: pearl_model_runner.py:560-588).
+
+Design:
+- grid = (N query rows, M table slots); the KV block for grid step
+  (n, m) is selected *by the scalar-prefetched block table*
+  (``PrefetchScalarGridSpec``): Pallas pipelines the HBM->VMEM copies of
+  exactly the blocks each row needs — no materialized [N, S, H, D]
+  gather like the jnp path, no reads beyond the row's context.
+- online softmax (flash) accumulators live in VMEM scratch and persist
+  across the sequential m-steps of a row; the output is written at the
+  last m-step.
+- per-row context lengths give the per-token staircase masking the
+  PEARL verify forward needs; padded table entries point at the garbage
+  block and are masked out by the context length.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch
+    block_tables_ref,  # [N, M] int32 (SMEM)
+    context_lens_ref,  # [N] int32 (SMEM)
+    # blocks
+    q_ref,  # [1, Hq, D]
+    k_ref,  # [1, BS, Hkv, D]
+    v_ref,  # [1, BS, Hkv, D]
+    o_ref,  # [1, Hq, D]
+    # scratch
+    m_scr,  # [Hq, 128] f32 running max (col 0 used)
+    l_scr,  # [Hq, 128] f32 running denom (col 0 used)
+    acc_scr,  # [Hq, D] f32 running numerator
+    *,
+    scale: float,
+    block_size: int,
+    num_kv_heads: int,
+):
+    n = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+    ctx = context_lens_ref[n]
+
+    @pl.when(m == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    block_start = m * block_size
+
+    @pl.when(block_start < ctx)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [Hq, D]
+        k = k_ref[0].astype(jnp.float32)  # [BS, Hkv, D]
+        v = v_ref[0].astype(jnp.float32)
+        hq, d = q.shape
+        g = hq // num_kv_heads
+
+        # per-kv-head 2D matmuls (static unroll over the few kv heads —
+        # Mosaic wants plain [M,K]x[K,N] contractions on the MXU)
+        s_parts = []
+        for kh in range(num_kv_heads):
+            qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
+            kh_blk = k[:, kh, :]  # [BS, D]
+            s_parts.append(
+                jax.lax.dot_general(
+                    qh, kh_blk,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, BS]
+            )
+        s2 = jnp.concatenate(s_parts, axis=0) * scale  # [Hq, BS]
+        pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+        s2 = jnp.where(pos < ctx, s2, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s2 - m_new)  # [Hq, BS]
+
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv_parts = []
+        for kh in range(num_kv_heads):
+            ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
+            vh = v[:, kh, :]  # [BS, D]
+            pv_parts.append(
+                jax.lax.dot_general(
+                    ph, vh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, D]
+            )
+        pv = jnp.concatenate(pv_parts, axis=0)  # [Hq, D]
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:, 0:1] = m_new
+        l_scr[:, 0:1] = l_new
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def paged_attention_pallas(
+    q: jax.Array,  # [N, Hq, D]
+    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    block_tables: jax.Array,  # [N, M] int32
+    context_lens: jax.Array,  # [N] int32
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    n, hq, d = q.shape
+    _, nb1, bs, hkv, _ = layer_cache.shape
+    m = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, m),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda ni, mi, bt, cl: (ni, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, bt, cl: (bt[ni, mi], 0, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, bt, cl: (bt[ni, mi], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda ni, mi, bt, cl: (ni, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, scale=scale, block_size=bs, num_kv_heads=hkv
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        interpret=interpret,
+    )(block_tables, context_lens, q, layer_cache[0], layer_cache[1])
+    return out

@@ -17,9 +17,11 @@ PROMPTS = [
 ]
 
 
-def _add_all(eng, max_tokens=16, temperature=0.0):
+def _add_all(eng, max_tokens=16, temperature=0.0, ignore_eos=False):
     for p in PROMPTS:
-        eng.add_request(p, SamplingParams(temperature=temperature, max_tokens=max_tokens))
+        eng.add_request(
+            p, SamplingParams(temperature=temperature, max_tokens=max_tokens, ignore_eos=ignore_eos)
+        )
 
 
 @pytest.fixture(scope="module")
@@ -92,7 +94,8 @@ def test_prefix_cache_within_batch(engine):
 
 def test_temperature_sampling_differs_and_completes(engine):
     engine.config.gamma = 2
-    _add_all(engine, max_tokens=10, temperature=1.0)
+    # ignore_eos: with random weights a T=1 sample can hit EOS by chance
+    _add_all(engine, max_tokens=10, temperature=1.0, ignore_eos=True)
     out, n, _, _ = engine.generate_token_ids()
     assert n == [10] * len(PROMPTS)
 
