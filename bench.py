@@ -100,6 +100,11 @@ def main():
 
     import jax
 
+    # Persistent compile cache: the fused whole-loop programs are large
+    # (minutes through the remote compiler); repeat bench runs hit cache.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from nano_pearl_tpu import PearlEngine
     from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
 

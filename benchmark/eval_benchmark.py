@@ -1,0 +1,108 @@
+"""Dataset evaluation harness (reference: benchmark/eval_benchmark.py).
+
+Runs PEARL and the AR baseline over a JSONL dataset in the reference's
+format — one object per line: {"question_id", "category", "turns":
+[prompt, ...]} (HumanEval / CNNDM / AIME / GSM8K ship in that shape) —
+and reports throughput, MAT and speedup per batch.
+
+Text prompts need a tokenizer in the target checkpoint dir; with
+--token-ids the turns are treated as pre-tokenized id lists instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="nano-pearl-tpu dataset eval")
+    p.add_argument("--draft-model", "-d", required=True)
+    p.add_argument("--target-model", "-t", required=True)
+    p.add_argument("--draft-tp", type=int, default=1)
+    p.add_argument("--target-tp", type=int, default=1)
+    p.add_argument("--data-path", required=True, help="JSONL dataset")
+    p.add_argument("--num-samples", type=int, default=100)
+    p.add_argument("--batch-size", "-bs", type=int, default=8)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-tokens", type=int, default=200)
+    p.add_argument("--num-pearl-steps", type=int, default=100)
+    p.add_argument("--gamma", type=int, default=-1)
+    p.add_argument("--run-ar-benchmark", "-ar", action="store_true")
+    p.add_argument("--token-ids", action="store_true", help="turns are id lists")
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def load_dataset(path: str, limit: int):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rows.append(json.loads(line))
+            if len(rows) >= limit:
+                break
+    return rows
+
+
+def main():
+    args = parse_args()
+    from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
+
+    config = PearlConfig(
+        draft_model=args.draft_model,
+        target_model=args.target_model,
+        draft_tp=args.draft_tp,
+        target_tp=args.target_tp,
+        max_model_len=args.max_model_len,
+        gamma=args.gamma,
+        seed=args.seed,
+    )
+    engine = PearlEngine(config)
+    rows = load_dataset(args.data_path, args.num_samples)
+    prompts = [r["turns"][0] for r in rows]
+
+    results = []
+    for start in range(0, len(prompts), args.batch_size):
+        batch = prompts[start : start + args.batch_size]
+        sp = lambda: SamplingParams(
+            temperature=args.temperature, max_tokens=args.max_tokens
+        )
+        for prm in batch:
+            engine.add_request(prm, sp())
+        out, n_tok, acc, t = engine.bench_generate(num_pearl_steps=args.num_pearl_steps)
+        mat = [sum(a) / max(1, len(a)) for a in acc]
+        pearl_tps = sum(n_tok) / t
+        row = {
+            "batch": len(batch),
+            "pearl_tok_s": round(pearl_tps, 2),
+            "mat": round(float(np.mean(mat)), 2),
+        }
+        if args.run_ar_benchmark:
+            for prm in batch:
+                engine.add_request(prm, sp())
+            _, ar_tok, _, ar_t = engine.AR_generate()
+            ar_tps = sum(ar_tok) / ar_t
+            row["ar_tok_s"] = round(ar_tps, 2)
+            row["speedup"] = round(pearl_tps / ar_tps, 2)
+        results.append(row)
+        logger.info(f"batch {start // args.batch_size}: {row}")
+
+    agg = {
+        "pearl_tok_s": round(float(np.mean([r["pearl_tok_s"] for r in results])), 2),
+        "mat": round(float(np.mean([r["mat"] for r in results])), 2),
+    }
+    if args.run_ar_benchmark:
+        agg["ar_tok_s"] = round(float(np.mean([r["ar_tok_s"] for r in results])), 2)
+        agg["speedup"] = round(agg["pearl_tok_s"] / agg["ar_tok_s"], 2)
+    print(json.dumps({"per_batch": results, "aggregate": agg}))
+
+
+if __name__ == "__main__":
+    main()

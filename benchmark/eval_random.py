@@ -1,0 +1,73 @@
+"""Synthetic fixed-length benchmark (reference: benchmark/eval_random.py):
+random token-id prompts of --input-len, PEARL vs AR."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="nano-pearl-tpu random-prompt eval")
+    p.add_argument("--draft-model", "-d", required=True)
+    p.add_argument("--target-model", "-t", required=True)
+    p.add_argument("--draft-tp", type=int, default=1)
+    p.add_argument("--target-tp", type=int, default=1)
+    p.add_argument("--input-len", type=int, default=128)
+    p.add_argument("--batch-size", "-bs", type=int, default=8)
+    p.add_argument("--num-pearl-steps", type=int, default=100)
+    p.add_argument("--gamma", type=int, default=-1)
+    p.add_argument("--run-ar-benchmark", "-ar", action="store_true")
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
+
+    config = PearlConfig(
+        draft_model=args.draft_model,
+        target_model=args.target_model,
+        draft_tp=args.draft_tp,
+        target_tp=args.target_tp,
+        max_model_len=args.max_model_len,
+        gamma=args.gamma,
+        seed=args.seed,
+    )
+    engine = PearlEngine(config)
+    vocab = engine.config.target_config.valid_vocab_size
+    rng = np.random.default_rng(args.seed)
+
+    def add_batch():
+        for _ in range(args.batch_size):
+            ids = rng.integers(2, vocab - 1, args.input_len).tolist()
+            engine.add_request(
+                ids, SamplingParams(temperature=0.0, max_tokens=256, ignore_eos=True)
+            )
+
+    add_batch()
+    _, n_tok, acc, t = engine.bench_generate(num_pearl_steps=args.num_pearl_steps)
+    mat = float(np.mean([sum(a) / max(1, len(a)) for a in acc]))
+    pearl_tps = sum(n_tok) / t
+    result = {
+        "input_len": args.input_len,
+        "batch": args.batch_size,
+        "pearl_tok_s": round(pearl_tps, 2),
+        "mat": round(mat, 2),
+    }
+    if args.run_ar_benchmark:
+        add_batch()
+        _, ar_tok, _, ar_t = engine.AR_generate_token_ids()
+        ar_tps = sum(ar_tok) / ar_t
+        result["ar_tok_s"] = round(ar_tps, 2)
+        result["speedup"] = round(pearl_tps / ar_tps, 2)
+    logger.info(str(result))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

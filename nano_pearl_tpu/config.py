@@ -67,6 +67,7 @@ class ModelConfig:
     eos_token_id: int | list[int] = 2
     dtype: str = "bfloat16"
     rope_scaling: dict | None = None
+    quant: str | None = None  # None | "int8" (weight-only, per-out-channel)
 
     # Filled in by `pad_for_tp`; identical to the originals when no padding
     # was needed. Sharded dims must divide tp.
@@ -182,6 +183,9 @@ class PearlConfig:
     #   placement).
     # "auto": fused when device sets coincide, else overlap.
     execution_mode: str = "auto"
+    # weight-only quantization per model group (None | "int8")
+    draft_quant: str | None = None
+    target_quant: str | None = None
     # Static-shape buckets replacing CUDA-graph capture buckets
     # (reference: pearl_model_runner.py:276).
     decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
@@ -202,6 +206,10 @@ class PearlConfig:
 
         self.draft_config = resolve(self.draft_model).pad_for_tp(self.draft_tp)
         self.target_config = resolve(self.target_model).pad_for_tp(self.target_tp)
+        if self.draft_quant:
+            self.draft_config = replace(self.draft_config, quant=self.draft_quant)
+        if self.target_quant:
+            self.target_config = replace(self.target_config, quant=self.target_quant)
         assert self.max_num_batched_tokens >= self.max_model_len
         assert self.max_model_len % self.kvcache_block_size == 0, (
             "max_model_len must be a multiple of the KV block size"

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from nano_pearl_tpu.config import ModelConfig
 from nano_pearl_tpu.ops.kv_cache import write_kv
+from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, mm, mm_t, quantize_int8
 from nano_pearl_tpu.ops.rope import apply_rope, build_rope_table
 from nano_pearl_tpu.ops.sampling import mask_invalid_logits
 
@@ -77,12 +78,18 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
     if cfg.qk_norm:
         layers.update({"q_norm": jnp.ones((l, d), dt), "k_norm": jnp.ones((l, d), dt)})
     embed = rnd(v, h)
-    return {
+    params = {
         "embed": embed,
         "layers": layers,
         "final_ln": jnp.ones((h,), dt),
         "lm_head": embed if cfg.tie_word_embeddings else rnd(v, h),
     }
+    if cfg.quant == "int8":
+        for k in QUANTIZED_LAYER_KEYS:
+            params["layers"][k] = quantize_int8(params["layers"][k])
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = quantize_int8(params["lm_head"], contract_axis=-1)
+    return params
 
 
 def forward(
@@ -120,9 +127,9 @@ def forward(
         res2 = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
         h1 = rms_norm(res2, lp["input_ln"], eps)
 
-        q = h1 @ lp["wq"]
-        k = h1 @ lp["wk"]
-        v = h1 @ lp["wv"]
+        q = mm(h1, lp["wq"])
+        k = mm(h1, lp["wk"])
+        v = mm(h1, lp["wv"])
         if qkv_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(-1, n_q, d)
@@ -139,14 +146,14 @@ def forward(
         cache = jax.lax.dynamic_update_index_in_dim(cache, layer_cache, li, axis=0)
 
         o = attn_fn(q, layer_cache, *attn_args)
-        attn_out = o.reshape(-1, n_q * d) @ lp["wo"]
+        attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])
 
         res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)
         h2 = rms_norm(res3, lp["post_ln"], eps)
-        act = jax.nn.silu((h2 @ lp["wgate"]).astype(jnp.float32)).astype(x.dtype) * (
-            h2 @ lp["wup"]
+        act = jax.nn.silu(mm(h2, lp["wgate"]).astype(jnp.float32)).astype(x.dtype) * mm(
+            h2, lp["wup"]
         )
-        mlp_out = act @ lp["wdown"]
+        mlp_out = mm(act, lp["wdown"])
         return (mlp_out, res3, cache), None
 
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
@@ -163,7 +170,7 @@ def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Arr
     (reference: embed_head.py:51-75 gathers shards to the master rank and
     truncates — here the matmul stays sharded and sampling handles the
     sharded logits directly)."""
-    logits = hidden @ params["lm_head"].T
+    logits = mm_t(hidden, params["lm_head"])
     return mask_invalid_logits(logits.astype(jnp.float32), cfg.valid_vocab_size)
 
 

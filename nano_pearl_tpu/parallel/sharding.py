@@ -44,11 +44,22 @@ def param_specs(cfg: ModelConfig) -> dict:
         layers.update({"bq": P(None, t), "bk": P(None, t), "bv": P(None, t)})
     if cfg.qk_norm:
         layers.update({"q_norm": P(), "k_norm": P()})
+    lm_head = P(t, None)
+    if cfg.quant == "int8":
+        # quantized leaves: {"q": int8 like the original, "s": per-out-
+        # channel scale with the contraction dim collapsed to 1}
+        from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS
+
+        for k in QUANTIZED_LAYER_KEYS:
+            spec = layers[k]
+            layers[k] = {"q": spec, "s": spec}
+        if not cfg.tie_word_embeddings:
+            lm_head = {"q": lm_head, "s": lm_head}
     return {
         "embed": P(t, None),
         "layers": layers,
         "final_ln": P(),
-        "lm_head": P(t, None),
+        "lm_head": lm_head,
     }
 
 

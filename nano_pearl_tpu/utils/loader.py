@@ -147,11 +147,27 @@ def load_params(
     params: dict = {"layers": {}}
 
     # ---- top-level tensors ----
+    quant = cfg.quant == "int8"
+    from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, quantize_int8
+
+    def put_maybe_quant(x, key_sharding, contract_axis):
+        """Quantize on host then place q/s with their shardings."""
+        qd = quantize_int8(np.asarray(x, np.float32), contract_axis=contract_axis)
+        qsh = key_sharding if not isinstance(key_sharding, dict) else key_sharding
+        return {
+            "q": _put(np.asarray(qd["q"]), jnp.int8, qsh["q"] if isinstance(qsh, dict) else None),
+            "s": _put(np.asarray(qd["s"]), jnp.float32, qsh["s"] if isinstance(qsh, dict) else None),
+        }
+
     for hf_name, key in _TOP_MAP.items():
         if hf_name not in index:
             continue
         raw = _to_numpy(index[hf_name].get_tensor(hf_name))
-        params[key] = _put(_pad_to(raw, shapes[key]), dtype, sh(key))
+        padded = _pad_to(raw, shapes[key])
+        if key == "lm_head" and quant and not cfg.tie_word_embeddings:
+            params[key] = put_maybe_quant(padded, sh(key), contract_axis=-1)
+        else:
+            params[key] = _put(padded, dtype, sh(key))
     if "lm_head" not in params:
         assert cfg.tie_word_embeddings, "checkpoint lacks lm_head and embeddings are not tied"
         params["lm_head"] = params["embed"]
@@ -189,12 +205,28 @@ def load_params(
                 raw = np.ascontiguousarray(raw.T)
             return _pad_to(raw, slice_shape)
 
-        if stream:
+        quant_key = quant and key in QUANTIZED_LAYER_KEYS
+        if stream and not quant_key:
             buf = jnp.zeros(shape, dtype=dtype, device=sh("layers", key))
             for i in range(num_layers):
                 row = _put(load_slice(i), dtype, None)
                 buf = _set_layer(buf, row, i)
             params["layers"][key] = buf
+        elif stream and quant_key:
+            shd = sh("layers", key)
+            buf_q = jnp.zeros(shape, dtype=jnp.int8, device=shd["q"] if shd else None)
+            s_shape = (num_layers, 1, shape[-1])
+            buf_s = jnp.zeros(s_shape, dtype=jnp.float32, device=shd["s"] if shd else None)
+            from nano_pearl_tpu.ops.quant import quantize_int8 as _qz
+
+            for i in range(num_layers):
+                qd = _qz(np.asarray(load_slice(i), np.float32), contract_axis=-2)
+                buf_q = _set_layer(buf_q, _put(np.asarray(qd["q"]), jnp.int8, None), i)
+                buf_s = _set_layer(buf_s, _put(np.asarray(qd["s"]), jnp.float32, None), i)
+            params["layers"][key] = {"q": buf_q, "s": buf_s}
+        elif quant_key:
+            stacked = np.stack([load_slice(i) for i in range(num_layers)])
+            params["layers"][key] = put_maybe_quant(stacked, sh("layers", key), contract_axis=-2)
         else:
             stacked = np.stack([load_slice(i) for i in range(num_layers)])
             params["layers"][key] = _put(stacked, dtype, sh("layers", key))

@@ -1,0 +1,136 @@
+"""INT8 weight-only quantization: numerics, loader path, engine
+acceptance-rate parity (BASELINE.json north-star capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_pearl_tpu import PearlEngine
+from nano_pearl_tpu.config import ModelConfig, SamplingParams
+from nano_pearl_tpu.ops.quant import dequantize, mm, mm_t, quantize_int8
+
+from helpers import tiny_model_config, tiny_pearl_config
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    qd = quantize_int8(jnp.asarray(w))
+    back = np.asarray(dequantize(qd, jnp.float32))
+    # per-out-channel symmetric int8: error <= scale/2 per element
+    scale = np.asarray(qd["s"])
+    assert np.all(np.abs(back - w) <= scale / 2 + 1e-6)
+
+
+def test_mm_quantized_close_to_fp():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    want = x @ w
+    got = np.asarray(mm(jnp.asarray(x), quantize_int8(jnp.asarray(w))))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02
+
+
+def test_mm_t_quantized_close_to_fp():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    w = rng.standard_normal((96, 64)).astype(np.float32)  # [out, in]
+    want = x @ w.T
+    got = np.asarray(mm_t(jnp.asarray(x), quantize_int8(jnp.asarray(w), contract_axis=-1)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02
+
+
+def test_quantized_model_argmax_agreement(tmp_path):
+    """Greedy token choice of the int8 model should agree with fp almost
+    everywhere (acceptance-rate parity proxy at the logits level)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=211,
+        max_position_embeddings=256, torch_dtype="float32",
+    )
+    transformers.AutoModelForCausalLM.from_config(hf_cfg).float().save_pretrained(str(tmp_path))
+
+    from dataclasses import replace
+
+    from nano_pearl_tpu.utils.loader import load_params
+    from tests.test_model_parity import our_logits
+
+    base = ModelConfig.from_json(str(tmp_path))
+    qcfg = replace(base, quant="int8")
+    ids = list(range(1, 40))
+    l_fp = our_logits(base, load_params(base, str(tmp_path), dtype=jnp.float32), ids)
+    l_q = our_logits(qcfg, load_params(qcfg, str(tmp_path), dtype=jnp.float32), ids)
+    agree = (l_fp.argmax(-1) == l_q.argmax(-1)).mean()
+    assert agree >= 0.9, f"argmax agreement {agree}"
+
+
+def test_engine_with_quantized_target_is_lossless_vs_its_own_ar():
+    """PEARL with an int8 target still equals that same int8 target's AR
+    output at T=0 — losslessness is weight-independent."""
+    cfg = tiny_pearl_config(target_quant="int8")
+    assert cfg.target_config.quant == "int8"
+    eng = PearlEngine(cfg)
+
+    def add():
+        eng.add_request([1, 2, 3, 4], SamplingParams(temperature=0.0, max_tokens=14))
+        eng.add_request([9, 8], SamplingParams(temperature=0.0, max_tokens=14))
+
+    add()
+    p, _, _, _ = eng.generate_token_ids()
+    add()
+    a, _, _, _ = eng.AR_generate_token_ids()
+    # PEARL may overshoot max_tokens by up to gamma on an accept-finish
+    # (the window is appended before the finish check, reference
+    # :667-694); the committed stream must agree on the common prefix.
+    for pi, ai in zip(p, a):
+        n = min(len(pi), len(ai))
+        assert pi[:n] == ai[:n]
+        assert len(pi) >= len(ai)
+
+
+def test_acceptance_rate_parity_int8_vs_fp():
+    """MAT with an int8-quantized target tracks the fp target closely for
+    the same draft (north-star: 'matching reference acceptance rate at
+    the same bit-width'). Uses draft == target weights (full-acceptance
+    regime) so any quantization-induced argmax flips show up directly."""
+    base = tiny_pearl_config(gamma=3)
+    donor = PearlEngine(base)
+    params = donor.target.params
+
+    def run(target_quant):
+        cfg = tiny_pearl_config(gamma=3, target_quant=target_quant)
+        if target_quant:
+            from nano_pearl_tpu.models.transformer import init_params  # noqa: F401
+            # quantize the donor weights for the target
+            from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, quantize_int8
+
+            tq = {
+                "embed": params["embed"],
+                "final_ln": params["final_ln"],
+                "lm_head": quantize_int8(params["lm_head"], contract_axis=-1),
+                "layers": {
+                    k: (quantize_int8(v) if k in QUANTIZED_LAYER_KEYS else v)
+                    for k, v in params["layers"].items()
+                },
+            }
+        else:
+            tq = params
+        eng = PearlEngine(cfg, draft_params=params, target_params=tq)
+        eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True))
+        _, _, acc, _ = eng.bench_generate(num_pearl_steps=6)
+        return sum(acc[0]) / max(1, len(acc[0]))
+
+    mat_fp = run(None)
+    mat_q = run("int8")
+    # Random tiny-model logits are nearly flat (init scale 0.02), so int8
+    # rounding flips argmax ties far more often than on trained weights;
+    # require the int8 target to still sustain multi-token acceptance
+    # windows. Full acceptance-rate parity at real sharpness needs real
+    # checkpoints (benchmark harness --draft-model/--target-model).
+    assert mat_fp > mat_q >= 2.0, f"int8 MAT {mat_q} vs fp {mat_fp}"
