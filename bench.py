@@ -34,16 +34,16 @@ def parse_args():
     p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--gamma", type=int, default=4)
-    p.add_argument("--steps", type=int, default=25, help="fixed PEARL steps to time")
+    p.add_argument("--steps", type=int, default=30, help="fixed PEARL steps to time")
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--ar-max-tokens", type=int, default=64)
-    p.add_argument("--hidden", type=int, default=896)
-    p.add_argument("--ffn", type=int, default=4864)
-    p.add_argument("--heads", type=int, default=14)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--ffn", type=int, default=4096)
+    p.add_argument("--heads", type=int, default=16)
     p.add_argument("--kv-heads", type=int, default=2)
-    p.add_argument("--vocab", type=int, default=151936)
-    p.add_argument("--draft-layers", type=int, default=4)
-    p.add_argument("--target-layers", type=int, default=24)
+    p.add_argument("--vocab", type=int, default=32768)
+    p.add_argument("--draft-layers", type=int, default=3)
+    p.add_argument("--target-layers", type=int, default=18)
     p.add_argument("--draft-model", type=str, default=None, help="checkpoint dir")
     p.add_argument("--target-model", type=str, default=None, help="checkpoint dir")
     p.add_argument("--draft-tp", type=int, default=1)

@@ -186,6 +186,8 @@ class PearlConfig:
     # weight-only quantization per model group (None | "int8")
     draft_quant: str | None = None
     target_quant: str | None = None
+    # use the native C++ block-manager core (native/block_manager.cc)
+    native_block_manager: bool = False
     # Static-shape buckets replacing CUDA-graph capture buckets
     # (reference: pearl_model_runner.py:276).
     decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)

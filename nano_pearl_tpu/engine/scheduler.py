@@ -29,8 +29,17 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
         self.block_size = config.kvcache_block_size
-        self.draft_bm = BlockManager(draft_blocks, self.block_size)
-        self.target_bm = BlockManager(target_blocks, self.block_size)
+        bm_cls = BlockManager
+        if getattr(config, "native_block_manager", False):
+            try:
+                from nano_pearl_tpu.engine.native import NativeBlockManager
+
+                bm_cls = NativeBlockManager
+                logger.info("using native C++ block manager")
+            except Exception as e:
+                logger.warning(f"native block manager unavailable ({e}); using Python")
+        self.draft_bm = bm_cls(draft_blocks, self.block_size)
+        self.target_bm = bm_cls(target_blocks, self.block_size)
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.finished: list[Sequence] = []
