@@ -68,6 +68,7 @@ class ModelConfig:
     dtype: str = "bfloat16"
     rope_scaling: dict | None = None
     quant: str | None = None  # None | "int8" (weight-only, per-out-channel)
+    kv_quant: str | None = None  # None | "int8" (KV cache, per-token-per-head scale)
 
     # Filled in by `pad_for_tp`; identical to the originals when no padding
     # was needed. Sharded dims must divide tp.
@@ -186,8 +187,15 @@ class PearlConfig:
     # weight-only quantization per model group (None | "int8")
     draft_quant: str | None = None
     target_quant: str | None = None
+    # KV-cache quantization per model group (None | "int8")
+    draft_kv_quant: str | None = None
+    target_kv_quant: str | None = None
     # use the native C++ block-manager core (native/block_manager.cc)
     native_block_manager: bool = False
+    # "disjoint": draft/target on separate device slices (overlap-friendly)
+    # "union": both models TP-sharded over ALL devices (fused-friendly,
+    #   full ICI width per model; needs draft_tp == target_tp == n_devices)
+    placement: str = "disjoint"
     # Static-shape buckets replacing CUDA-graph capture buckets
     # (reference: pearl_model_runner.py:276).
     decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
@@ -212,6 +220,10 @@ class PearlConfig:
             self.draft_config = replace(self.draft_config, quant=self.draft_quant)
         if self.target_quant:
             self.target_config = replace(self.target_config, quant=self.target_quant)
+        if self.draft_kv_quant:
+            self.draft_config = replace(self.draft_config, kv_quant=self.draft_kv_quant)
+        if self.target_kv_quant:
+            self.target_config = replace(self.target_config, kv_quant=self.target_kv_quant)
         assert self.max_num_batched_tokens >= self.max_model_len
         assert self.max_model_len % self.kvcache_block_size == 0, (
             "max_model_len must be a multiple of the KV block size"

@@ -87,11 +87,14 @@ class GroupRunner:
             mcfg.num_key_value_heads,
             mcfg.head_dim,
             dtype=jnp.dtype(mcfg.dtype),
-            sharding=kv_cache_sharding(gmesh),
+            sharding=kv_cache_sharding(gmesh, mcfg.kv_quant),
+            quant=mcfg.kv_quant,
         )
+        kv_bytes = sum(a.nbytes for a in jax.tree.leaves(self.kv))
         logger.info(
             f"[{self.name}] kv cache: {self.num_blocks} blocks x {self.block_size} tokens "
-            f"({self.kv.nbytes / 2**30:.2f} GiB global)",
+            f"({kv_bytes / 2**30:.2f} GiB global"
+            + (f", {mcfg.kv_quant}" if mcfg.kv_quant else "") + ")",
             color="green",
         )
         self.garbage_block = self.num_blocks  # extra block appended by make_kv_cache
@@ -119,14 +122,11 @@ class GroupRunner:
         if not stats or "bytes_limit" not in stats:
             return _DEFAULT_CPU_BLOCKS
         free = stats["bytes_limit"] * pcfg.hbm_utilization - stats.get("bytes_in_use", 0)
-        block_bytes = (
-            mcfg.num_hidden_layers
-            * 2
-            * self.block_size
-            * mcfg.num_key_value_heads
-            * mcfg.head_dim
-            * jnp.dtype(pcfg.dtype).itemsize
+        per_slot = mcfg.num_key_value_heads * (
+            mcfg.head_dim + 4 if mcfg.kv_quant == "int8" else
+            mcfg.head_dim * jnp.dtype(mcfg.dtype).itemsize
         )
+        block_bytes = mcfg.num_hidden_layers * 2 * self.block_size * per_slot
         num = int(free * self.gmesh.tp_size) // block_bytes
         assert num > 0, f"[{self.name}] not enough HBM for any KV block"
         return num

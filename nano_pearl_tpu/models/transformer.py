@@ -141,9 +141,14 @@ def forward(
         q = apply_rope(q, rope_rows)
         k = apply_rope(k, rope_rows)
 
-        layer_cache = jax.lax.dynamic_index_in_dim(cache, li, axis=0, keepdims=False)
+        layer_cache = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, li, axis=0, keepdims=False), cache
+        )
         layer_cache = write_kv(layer_cache, k, v, slots)
-        cache = jax.lax.dynamic_update_index_in_dim(cache, layer_cache, li, axis=0)
+        cache = jax.tree.map(
+            lambda c, lc: jax.lax.dynamic_update_index_in_dim(c, lc, li, axis=0),
+            cache, layer_cache,
+        )
 
         o = attn_fn(q, layer_cache, *attn_args)
         attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])

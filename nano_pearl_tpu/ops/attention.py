@@ -27,7 +27,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nano_pearl_tpu.ops.kv_cache import cache_is_quantized, cache_kv_dims, dequant_rows
+
 NEG_INF = -1e30
+
+
+def _gather_kv(layer_cache, block_tables):
+    """Gather K and V rows for the given block-table rows, dequantizing
+    int8 caches after the gather (half the HBM read volume).
+    Returns (k, v) shaped [..., M*BS, Hkv, D] float32."""
+    bs, hkv, d = cache_kv_dims(layer_cache)
+    lead = block_tables.shape[:-1]
+    m = block_tables.shape[-1]
+    s_len = m * bs
+    if cache_is_quantized(layer_cache):
+        kq = layer_cache["q"][0][block_tables].reshape(*lead, s_len, hkv, d)
+        vq = layer_cache["q"][1][block_tables].reshape(*lead, s_len, hkv, d)
+        ks = layer_cache["s"][0][block_tables].reshape(*lead, s_len, hkv)
+        vs = layer_cache["s"][1][block_tables].reshape(*lead, s_len, hkv)
+        return dequant_rows(kq, ks), dequant_rows(vq, vs)
+    k = layer_cache[0][block_tables].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
+    v = layer_cache[1][block_tables].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
+    return k, v
 
 
 def paged_attention_jnp(
@@ -38,17 +59,15 @@ def paged_attention_jnp(
     scale: float,
 ) -> jax.Array:
     n, hq, d = q.shape
-    _, _, bs, hkv, _ = layer_cache.shape
+    bs, hkv, _d = cache_kv_dims(layer_cache)
     m = block_tables.shape[1]
     s = m * bs
     g = hq // hkv
 
-    k = layer_cache[0][block_tables].reshape(n, s, hkv, d)
-    v = layer_cache[1][block_tables].reshape(n, s, hkv, d)
+    k, v = _gather_kv(layer_cache, block_tables)
 
     qg = q.reshape(n, hkv, g, d).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("nkgd,nskd->nkgs", qg, kf) * scale
+    scores = jnp.einsum("nkgd,nskd->nkgs", qg, k) * scale
 
     valid = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1) < context_lens[:, None]
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
@@ -58,7 +77,7 @@ def paged_attention_jnp(
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.maximum(denom, 1e-30)
 
-    out = jnp.einsum("nkgs,nskd->nkgd", p, v.astype(jnp.float32))
+    out = jnp.einsum("nkgs,nskd->nkgd", p, v)
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
@@ -81,12 +100,11 @@ def prefill_attention_jnp(
     b, m = block_tables.shape
     n, hq, d = q.shape
     lq = n // b
-    _, _, bs, hkv, _ = layer_cache.shape
+    bs, hkv, _d = cache_kv_dims(layer_cache)
     s = m * bs
     g = hq // hkv
 
-    k = layer_cache[0][block_tables].reshape(b, s, hkv, d).astype(jnp.float32)
-    v = layer_cache[1][block_tables].reshape(b, s, hkv, d).astype(jnp.float32)
+    k, v = _gather_kv(layer_cache, block_tables)
     qb = q.reshape(b, lq, hkv, g, d).astype(jnp.float32)
 
     scores = jnp.einsum("blkgd,bskd->bklgs", qb, k) * scale
@@ -109,7 +127,7 @@ def paged_attention(q, layer_cache, block_tables, context_lens, scale, use_palla
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
         use_pallas = attention_enabled()
-    if use_pallas:
+    if use_pallas and not cache_is_quantized(layer_cache):
         try:
             from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
         except ImportError:

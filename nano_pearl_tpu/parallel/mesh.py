@@ -53,19 +53,34 @@ def build_group_meshes(
     draft_tp: int,
     target_tp: int,
     devices: list | None = None,
+    placement: str = "disjoint",
 ) -> tuple[GroupMesh, GroupMesh]:
-    """Split the device list into draft and target sub-meshes.
+    """Build the draft and target sub-meshes.
 
-    Reference: pearl_config.py:88-93 (draft gets ranks 0..dtp-1, target
-    the next ttp). When there are not enough devices (e.g. a single test
-    chip) the groups share devices round-robin — programs then time-share
-    the chip instead of overlapping, with identical numerics.
+    placement="disjoint" (reference semantics, pearl_config.py:88-93:
+    draft gets ranks 0..dtp-1, target the next ttp): the two groups can
+    overlap their programs in time but each model only spans its own
+    chips. When there are not enough devices (e.g. a single test chip)
+    the groups share devices round-robin — identical numerics, no
+    overlap.
+
+    placement="union": BOTH groups are TP-sharded over the SAME device
+    list (requires draft_tp == target_tp == len(devices)). No cross-group
+    overlap, but each model gets the full ICI width and the fused
+    zero-sync loop (engine/fused.py) works multi-chip. Which placement
+    wins is model/hardware dependent — benchmark both.
     """
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
     n = len(devices)
-    if n >= draft_tp + target_tp:
+    if placement == "union":
+        assert draft_tp == target_tp == n, (
+            f"union placement needs draft_tp == target_tp == num_devices "
+            f"({draft_tp}, {target_tp}, {n})"
+        )
+        draft_devs = target_devs = devices
+    elif n >= draft_tp + target_tp:
         draft_devs = devices[:draft_tp]
         target_devs = devices[draft_tp : draft_tp + target_tp]
     else:

@@ -47,14 +47,18 @@ def param_specs(cfg: ModelConfig) -> dict:
     lm_head = P(t, None)
     if cfg.quant == "int8":
         # quantized leaves: {"q": int8 like the original, "s": per-out-
-        # channel scale with the contraction dim collapsed to 1}
+        # channel scale with the contraction dim collapsed to 1 — so the
+        # scale shards on the OUT dim only (replicated for row-parallel
+        # weights whose out dim is unsharded)
         from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS
 
+        col_scale = P(None, None, t)  # [L, 1, out-sharded]
+        row_scale = P()  # [L, 1, H] replicated
         for k in QUANTIZED_LAYER_KEYS:
             spec = layers[k]
-            layers[k] = {"q": spec, "s": spec}
+            layers[k] = {"q": spec, "s": row_scale if k in ("wo", "wdown") else col_scale}
         if not cfg.tie_word_embeddings:
-            lm_head = {"q": lm_head, "s": lm_head}
+            lm_head = {"q": lm_head, "s": P(t, None)}  # scale [V, 1]
     return {
         "embed": P(t, None),
         "layers": layers,
@@ -80,5 +84,11 @@ def kv_cache_spec() -> P:
     return P(None, None, None, None, TP_AXIS, None)
 
 
-def kv_cache_sharding(gmesh: GroupMesh) -> NamedSharding:
+def kv_cache_sharding(gmesh: GroupMesh, quant: str | None = None):
+    if quant == "int8":
+        return {
+            "q": NamedSharding(gmesh.mesh, kv_cache_spec()),
+            # scales drop the head_dim axis
+            "s": NamedSharding(gmesh.mesh, P(None, None, None, None, TP_AXIS)),
+        }
     return NamedSharding(gmesh.mesh, kv_cache_spec())

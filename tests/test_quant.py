@@ -134,3 +134,15 @@ def test_acceptance_rate_parity_int8_vs_fp():
     # windows. Full acceptance-rate parity at real sharpness needs real
     # checkpoints (benchmark harness --draft-model/--target-model).
     assert mat_fp > mat_q >= 2.0, f"int8 MAT {mat_q} vs fp {mat_fp}"
+
+
+def test_int8_weights_shard_at_tp3():
+    """Quantized scale shardings at TP>1 (regression: row-parallel scales
+    have a collapsed contraction dim and must stay replicated)."""
+    import jax
+
+    cfg = tiny_pearl_config(target_quant="int8", target_kv_quant="int8", target_tp=3)
+    eng = PearlEngine(cfg)
+    eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=8))
+    out, n, _, _ = eng.generate_token_ids()
+    assert n == [8]
