@@ -140,6 +140,31 @@ class PearlEngine:
         self.scheduler.clear()
         return texts, num_tokens, num_acc, elapsed
 
+    # ------------------------------------------------- continuous serving
+
+    def submit(self, prompt, sampling_params: SamplingParams | None = None) -> int:
+        """Queue a request for continuous-batching service (alias of
+        add_request; requests join the running batch at the next
+        serve_step — the capability the reference leaves as TODO,
+        reference: README.md:110)."""
+        return self.add_request(prompt, sampling_params)
+
+    def serve_step(self, fused_rounds: int = 8):
+        """Advance the engine one scheduling iteration and return newly
+        finished requests as (seq_id, completion_token_ids, num_acc_tokens).
+        Mid-flight admission: requests submitted between calls join the
+        batch in pre-verify state without draining it."""
+        self.orchestrator.serve_round(fused_rounds)
+        done = []
+        for seq in self.scheduler.finished:
+            done.append((seq.seq_id, seq.completion_token_ids, list(seq.num_acc_tokens)))
+        self.scheduler.finished.clear()
+        return done
+
+    @property
+    def has_work(self) -> bool:
+        return not self.scheduler.is_finished()
+
     def exit(self):
         """Reference parity (pearl_engine.py:98-106); nothing to tear down
         in single-controller JAX."""

@@ -59,9 +59,13 @@ class FusedPearl:
         self.target = target
         self.block_size = pcfg.kvcache_block_size
         self._jit_pearl = jax.jit(
-            self._pearl_rounds_impl, static_argnames=("gamma",), donate_argnums=(0, 1, 2)
+            self._pearl_rounds_impl,
+            static_argnames=("gamma", "greedy_only"),
+            donate_argnums=(0, 1, 2),
         )
-        self._jit_ar = jax.jit(self._ar_rounds_impl, donate_argnums=(0, 1))
+        self._jit_ar = jax.jit(
+            self._ar_rounds_impl, static_argnames="greedy_only", donate_argnums=(0, 1)
+        )
 
     @staticmethod
     def compatible(draft: GroupRunner, target: GroupRunner) -> bool:
@@ -121,7 +125,7 @@ class FusedPearl:
     def _pearl_rounds_impl(
         self, dkv, tkv, tokens, length, pre, finished, cur_acc, emitted, emit_cnt,
         bt_d, bt_t, temps, max_tokens, ignore_eos, prompt_len, eos_ids,
-        num_rounds, seed0, *, gamma,
+        num_rounds, seed0, *, gamma, greedy_only=False,
     ):
         """num_rounds PEARL rounds (early exit when all rows finish)."""
         b = length.shape[0]
@@ -151,6 +155,7 @@ class FusedPearl:
             res = verify_verdict(
                 logits, tbv, pre, temps, length - prompt_len, max_tokens,
                 ignore_eos, eos_ids, jax.random.key(seed0 + i), gamma,
+                greedy=greedy_only,
             )
             acc, n, rollout, revise = res.acc, res.n_acc, res.rollout, res.revise
             fin = res.finish
@@ -194,7 +199,7 @@ class FusedPearl:
 
     def _ar_rounds_impl(
         self, tkv, tokens, length, finished, bt_t, temps, max_tokens, ignore_eos,
-        prompt_len, eos_ids, num_steps, seed0,
+        prompt_len, eos_ids, num_steps, seed0, *, greedy_only=False,
     ):
         """num_steps target-only greedy/temperature decode steps in one
         program (the fused counterpart of reference step(), :319-331)."""
@@ -215,7 +220,10 @@ class FusedPearl:
                 tcfg, tr.params, tkv, last, pos, slots, tr.rope_table, attn, (bt_t, length)
             )
             logits = compute_logits(tcfg, tr.params, hidden)
-            nxt = sample(logits, temps, jax.random.key(seed0 + i))
+            if greedy_only:
+                nxt = greedy(logits)
+            else:
+                nxt = sample(logits, temps, jax.random.key(seed0 + i))
             active = ~finished
             tokens = jax.vmap(
                 lambda row, t, l: jax.lax.dynamic_update_slice(row, t[None], (l,))
@@ -235,6 +243,7 @@ class FusedPearl:
     def run_pearl(self, state: dict, gamma: int, num_rounds: int, seed0: int):
         """state: dict of np/device arrays (see orchestrator); returns the
         updated dict. One dispatch regardless of num_rounds."""
+        greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
         out = self._jit_pearl(
             self.draft.kv, self.target.kv,
             state["tokens"], state["length"], state["pre"], state["finished"],
@@ -242,6 +251,7 @@ class FusedPearl:
             state["bt_d"], state["bt_t"], state["temps"], state["max_tokens"],
             state["ignore_eos"], state["prompt_len"], state["eos_ids"],
             np.int32(num_rounds), np.int64(seed0), gamma=gamma,
+            greedy_only=greedy_only,
         )
         (self.draft.kv, self.target.kv) = out[0], out[1]
         keys = ["tokens", "length", "pre", "finished", "cur_acc", "emitted", "emit_cnt"]
@@ -251,10 +261,12 @@ class FusedPearl:
         return state
 
     def run_ar(self, state: dict, num_steps: int, seed0: int):
+        greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
         out = self._jit_ar(
             self.target.kv, state["tokens"], state["length"], state["finished"],
             state["bt_t"], state["temps"], state["max_tokens"], state["ignore_eos"],
             state["prompt_len"], state["eos_ids"], np.int32(num_steps), np.int64(seed0),
+            greedy_only=greedy_only,
         )
         self.target.kv = out[0]
         for k, v in zip(["tokens", "length", "finished"], out[1:4]):

@@ -453,6 +453,25 @@ class PearlOrchestrator:
             if finished[i]:
                 sch.finish(seq)
 
+    # ------------------------------------------------------------- serving
+
+    def serve_round(self, fused_rounds: int = 8) -> None:
+        """One continuous-batching iteration: admit whatever prefills fit,
+        then advance the running batch by one PEARL round (overlap mode)
+        or a short fused chunk. New sequences join mid-flight in
+        pre-verify state — the verify state machine needs no special
+        casing for them. This is the capability the reference lists as
+        TODO (reference: README.md:110 'continuous batching')."""
+        if self.scheduler.waiting:
+            self.prefill_all()
+        if not self.scheduler.running:
+            return
+        gamma = self._pick_gamma()
+        if self.fused is not None:
+            self._fused_pearl_run(gamma, num_steps=fused_rounds)
+        else:
+            self.pearl_round(gamma)
+
     # --------------------------------------------------------- auto gamma
 
     def auto_set_gamma(self, profile_steps: int = 12, skip_first: int = 3,

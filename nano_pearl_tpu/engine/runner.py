@@ -103,8 +103,10 @@ class GroupRunner:
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=1)
         self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=1, static_argnames="gamma")
         self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=1)
-        self._jit_verdict = jax.jit(self._verdict_impl, static_argnames="gamma")
-        self._jit_sample = jax.jit(self._sample_impl)
+        self._jit_verdict = jax.jit(
+            self._verdict_impl, static_argnames=("gamma", "greedy_only")
+        )
+        self._jit_sample = jax.jit(self._sample_impl, static_argnames="greedy_only")
 
     # ------------------------------------------------------------------ setup
 
@@ -197,16 +199,18 @@ class GroupRunner:
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)
 
-    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, seed, *, gamma):
+    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, seed, *, gamma, greedy_only):
         # seed -> key inside the jit so inputs stay device-neutral (host
         # ints place onto this group's mesh; a pre-committed key from the
         # default backend would conflict with CPU-mesh dry runs)
         return verify_verdict(
             logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos,
-            eos_ids, jax.random.key(seed), gamma,
+            eos_ids, jax.random.key(seed), gamma, greedy=greedy_only,
         )
 
-    def _sample_impl(self, logits, temps, seed):
+    def _sample_impl(self, logits, temps, seed, *, greedy_only=False):
+        if greedy_only:
+            return greedy(logits)
         return sample(logits, temps, jax.random.key(seed))
 
     # ------------------------------------------------------------- host API
@@ -306,10 +310,14 @@ class GroupRunner:
 
     def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int):
         eos_ids = np.asarray(self.cfg.eos_ids, np.int32)
+        greedy_only = bool(np.all(np.asarray(temps) == 0.0))
         return self._jit_verdict(
             logits, tbv, is_pre, temps, num_completion, max_tokens,
-            ignore_eos, eos_ids, np.int64(seed), gamma=gamma,
+            ignore_eos, eos_ids, np.int64(seed), gamma=gamma, greedy_only=greedy_only,
         )
 
     def sample_tokens(self, logits, temps: np.ndarray, seed: int) -> jax.Array:
-        return self._jit_sample(logits, np.asarray(temps, np.float32), np.int64(seed))
+        greedy_only = bool(np.all(np.asarray(temps) == 0.0))
+        return self._jit_sample(
+            logits, np.asarray(temps, np.float32), np.int64(seed), greedy_only=greedy_only
+        )

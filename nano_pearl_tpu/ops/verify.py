@@ -54,22 +54,34 @@ def verify_verdict(
     eos_ids: jax.Array,  # [E] i32 (static-length)
     key: jax.Array,
     gamma: int,
+    greedy: bool = False,
 ) -> VerifyResult:
     b, g, v = logits.shape
     assert g == gamma
     kr, ks = jax.random.split(key)
 
     temps = temperatures[:, None]  # broadcast over the window
-    probs = norm_probs(logits, jnp.broadcast_to(temps, (b, g)))
-    p_tok = jnp.take_along_axis(probs, tbv[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    r = jax.random.uniform(kr, (b, g), dtype=jnp.float32)
-    judge = r <= p_tok  # [B, G]
+    if greedy:
+        # All-greedy batch: the accept test degenerates to token==argmax
+        # and the revise sample to the (unmasked) argmax — no RNG, no
+        # [B, G, V] gumbel draw in the compiled program. Exact for T=0:
+        # norm_probs is one-hot, r<p one-hot acceptance == argmax match,
+        # and the rejected token is never the argmax so masking is a
+        # no-op for the revise pick.
+        argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        judge = tbv.astype(jnp.int32) == argmax_tok
+        revised = argmax_tok
+    else:
+        probs = norm_probs(logits, jnp.broadcast_to(temps, (b, g)))
+        p_tok = jnp.take_along_axis(probs, tbv[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        r = jax.random.uniform(kr, (b, g), dtype=jnp.float32)
+        judge = r <= p_tok  # [B, G]
 
-    # Revise candidates: rejected token masked out, then greedy/temp sample
-    # for every row; only the row at the cutoff is used.
-    onehot = jax.nn.one_hot(tbv, v, dtype=jnp.bool_)
-    masked_logits = jnp.where(onehot, NEG_INF, logits.astype(jnp.float32))
-    revised = sample(masked_logits, jnp.broadcast_to(temps, (b, g)), ks)  # [B, G]
+        # Revise candidates: rejected token masked out, then greedy/temp
+        # sample for every row; only the row at the cutoff is used.
+        onehot = jax.nn.one_hot(tbv, v, dtype=jnp.bool_)
+        masked_logits = jnp.where(onehot, NEG_INF, logits.astype(jnp.float32))
+        revised = sample(masked_logits, jnp.broadcast_to(temps, (b, g)), ks)  # [B, G]
 
     is_eos_tok = (tbv[..., None] == eos_ids[None, None, :]).any(-1)  # [B, G]
 
