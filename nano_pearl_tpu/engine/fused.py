@@ -58,13 +58,16 @@ class FusedPearl:
         self.draft = draft
         self.target = target
         self.block_size = pcfg.kvcache_block_size
+        # params and rope tables MUST be jit arguments, not closure
+        # captures — captured jax Arrays are inlined into the HLO as
+        # constants (gigabytes of weights -> pathological compiles)
         self._jit_pearl = jax.jit(
             self._pearl_rounds_impl,
             static_argnames=("gamma", "greedy_only"),
-            donate_argnums=(0, 1, 2),
+            donate_argnums=(4, 5, 6),  # dkv, tkv, tokens
         )
         self._jit_ar = jax.jit(
-            self._ar_rounds_impl, static_argnames="greedy_only", donate_argnums=(0, 1)
+            self._ar_rounds_impl, static_argnames="greedy_only", donate_argnums=(2, 3)
         )
 
     @staticmethod
@@ -77,7 +80,7 @@ class FusedPearl:
 
     # ------------------------------------------------------------ PEARL
 
-    def _draft_gamma(self, dkv, tokens_last, positions, bt, ctx, gamma):
+    def _draft_gamma(self, dparams, drope, dkv, tokens_last, positions, bt, ctx, gamma):
         dcfg, dr = self.draft.cfg, self.draft
         bs = self.block_size
 
@@ -86,9 +89,9 @@ class FusedPearl:
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
             attn = partial(paged_attention, scale=dr.scale)
             hidden, kv = forward(
-                dcfg, dr.params, kv, toks, pos, slots, dr.rope_table, attn, (bt, cl)
+                dcfg, dparams, kv, toks, pos, slots, drope, attn, (bt, cl)
             )
-            nxt = greedy(compute_logits(dcfg, dr.params, hidden))
+            nxt = greedy(compute_logits(dcfg, dparams, hidden))
             return (kv, nxt, pos + 1, cl + 1), nxt
 
         (dkv, _, _, _), toks = jax.lax.scan(
@@ -96,7 +99,7 @@ class FusedPearl:
         )
         return dkv, toks.T  # [B, gamma]
 
-    def _target_packed(self, tkv, tokens, length, num_input, bt, gamma):
+    def _target_packed(self, tparams, trope, tkv, tokens, length, num_input, bt, gamma):
         tcfg, tr = self.target.cfg, self.target
         bs = self.block_size
         b = length.shape[0]
@@ -116,17 +119,19 @@ class FusedPearl:
         bt_rows = jnp.repeat(bt, gamma, axis=0)
         attn = partial(paged_attention, scale=tr.scale)
         hidden, tkv = forward(
-            tcfg, tr.params, tkv, flat(toks), flat(positions), flat(slots),
-            tr.rope_table, attn, (bt_rows, flat(ctx)),
+            tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
+            trope, attn, (bt_rows, flat(ctx)),
         )
-        logits = compute_logits(tcfg, tr.params, hidden).reshape(b, gamma, -1)
+        logits = compute_logits(tcfg, tparams, hidden).reshape(b, gamma, -1)
         return tkv, logits
 
     def _pearl_rounds_impl(
-        self, dkv, tkv, tokens, length, pre, finished, cur_acc, emitted, emit_cnt,
+        self, dparams, tparams, dropes, dkv, tkv, tokens, length, pre, finished,
+        cur_acc, emitted, emit_cnt,
         bt_d, bt_t, temps, max_tokens, ignore_eos, prompt_len, eos_ids,
         num_rounds, seed0, *, gamma, greedy_only=False,
     ):
+        drope, trope = dropes
         """num_rounds PEARL rounds (early exit when all rows finish)."""
         b = length.shape[0]
         g_j = jnp.arange(gamma, dtype=jnp.int32)[None, :]
@@ -140,10 +145,10 @@ class FusedPearl:
             (i, dkv, tkv, tokens, length, pre, finished, cur_acc, emitted, emit_cnt) = carry
 
             last = jnp.take_along_axis(tokens, jnp.clip(length - 1, 0)[:, None], axis=1)[:, 0]
-            dkv, G = self._draft_gamma(dkv, last, length - 1, bt_d, length, gamma)
+            dkv, G = self._draft_gamma(dparams, drope, dkv, last, length - 1, bt_d, length, gamma)
 
             num_input = jnp.where(pre, 1, gamma).astype(jnp.int32)
-            tkv, logits = self._target_packed(tkv, tokens, length, num_input, bt_t, gamma)
+            tkv, logits = self._target_packed(tparams, trope, tkv, tokens, length, num_input, bt_t, gamma)
 
             # to-be-verified window: previous round shifted by one, ending
             # with the first token of the current draft round
@@ -198,8 +203,8 @@ class FusedPearl:
     # --------------------------------------------------------------- AR
 
     def _ar_rounds_impl(
-        self, tkv, tokens, length, finished, bt_t, temps, max_tokens, ignore_eos,
-        prompt_len, eos_ids, num_steps, seed0, *, greedy_only=False,
+        self, tparams, trope, tkv, tokens, length, finished, bt_t, temps, max_tokens,
+        ignore_eos, prompt_len, eos_ids, num_steps, seed0, *, greedy_only=False,
     ):
         """num_steps target-only greedy/temperature decode steps in one
         program (the fused counterpart of reference step(), :319-331)."""
@@ -217,9 +222,9 @@ class FusedPearl:
             slots = _row_slots(bt_t, pos[:, None], bs)[:, 0]
             attn = partial(paged_attention, scale=tr.scale)
             hidden, tkv = forward(
-                tcfg, tr.params, tkv, last, pos, slots, tr.rope_table, attn, (bt_t, length)
+                tcfg, tparams, tkv, last, pos, slots, trope, attn, (bt_t, length)
             )
-            logits = compute_logits(tcfg, tr.params, hidden)
+            logits = compute_logits(tcfg, tparams, hidden)
             if greedy_only:
                 nxt = greedy(logits)
             else:
@@ -245,6 +250,8 @@ class FusedPearl:
         updated dict. One dispatch regardless of num_rounds."""
         greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
         out = self._jit_pearl(
+            self.draft.params, self.target.params,
+            (self.draft.rope_table, self.target.rope_table),
             self.draft.kv, self.target.kv,
             state["tokens"], state["length"], state["pre"], state["finished"],
             state["cur_acc"], state["emitted"], state["emit_cnt"],
@@ -263,6 +270,7 @@ class FusedPearl:
     def run_ar(self, state: dict, num_steps: int, seed0: int):
         greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
         out = self._jit_ar(
+            self.target.params, self.target.rope_table,
             self.target.kv, state["tokens"], state["length"], state["finished"],
             state["bt_t"], state["temps"], state["max_tokens"], state["ignore_eos"],
             state["prompt_len"], state["eos_ids"], np.int32(num_steps), np.int64(seed0),

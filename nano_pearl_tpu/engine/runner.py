@@ -99,10 +99,12 @@ class GroupRunner:
         )
         self.garbage_block = self.num_blocks  # extra block appended by make_kv_cache
 
-        self._jit_prefill = jax.jit(self._prefill_impl, donate_argnums=1)
-        self._jit_decode = jax.jit(self._decode_impl, donate_argnums=1)
-        self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=1, static_argnames="gamma")
-        self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=1)
+        # params and rope are explicit jit arguments: closure-captured
+        # jax Arrays would be inlined into the HLO as constants
+        self._jit_prefill = jax.jit(self._prefill_impl, donate_argnums=2)
+        self._jit_decode = jax.jit(self._decode_impl, donate_argnums=2)
+        self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=2, static_argnames="gamma")
+        self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=2)
         self._jit_verdict = jax.jit(
             self._verdict_impl, static_argnames=("gamma", "greedy_only")
         )
@@ -135,27 +137,27 @@ class GroupRunner:
 
     # --------------------------------------------------------------- programs
 
-    def _prefill_impl(self, params, kv, tokens, positions, slots, block_tables, q_positions, sel_rows):
+    def _prefill_impl(self, params, rope, kv, tokens, positions, slots, block_tables, q_positions, sel_rows):
         """Flat [B*Lq] prefill; returns logits at each sequence's last row
         (reference: prefill path of run_model + ParallelLMHead last-token
         gather, embed_head.py:66-68)."""
         attn = partial(prefill_attention_jnp, scale=self.scale)
         hidden, kv = forward(
-            self.cfg, params, kv, tokens, positions, slots, self.rope_table,
+            self.cfg, params, kv, tokens, positions, slots, rope,
             attn, (block_tables, q_positions),
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 
-    def _decode_impl(self, params, kv, tokens, positions, slots, block_tables, context_lens):
+    def _decode_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """One decode step for B rows (reference: step(), :319-331)."""
         attn = partial(paged_attention, scale=self.scale)
         hidden, kv = forward(
-            self.cfg, params, kv, tokens, positions, slots, self.rope_table,
+            self.cfg, params, kv, tokens, positions, slots, rope,
             attn, (block_tables, context_lens),
         )
         return kv, compute_logits(self.cfg, params, hidden)
 
-    def _gamma_impl(self, params, kv, tokens, positions, block_tables, context_lens, *, gamma):
+    def _gamma_impl(self, params, rope, kv, tokens, positions, block_tables, context_lens, *, gamma):
         """The draft's whole PEARL round as one compiled scan: gamma greedy
         decode steps feeding sampled tokens forward (reference:
         DraftModelRunner.pearl_step :492-507 — gamma Python iterations of
@@ -171,7 +173,7 @@ class GroupRunner:
             )
             attn = partial(paged_attention, scale=self.scale)
             hidden, kv = forward(
-                self.cfg, params, kv, toks, pos, slots, self.rope_table,
+                self.cfg, params, kv, toks, pos, slots, rope,
                 attn, (block_tables, ctx),
             )
             logits = compute_logits(self.cfg, params, hidden)
@@ -183,7 +185,7 @@ class GroupRunner:
         )
         return kv, toks  # toks: [gamma, B]
 
-    def _verify_fwd_impl(self, params, kv, tokens, positions, slots, block_tables, context_lens):
+    def _verify_fwd_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """Target packed verify forward: B*gamma rows with per-token
         context lens (reference: TargetModelRunner.prepare_pearl_decode +
         run_model, :560-596). block_tables is [B, M]; rows are repeated
@@ -194,7 +196,7 @@ class GroupRunner:
         attn = partial(paged_attention, scale=self.scale)
         hidden, kv = forward(
             self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
-            self.rope_table, attn, (bt, flat(context_lens)),
+            rope, attn, (bt, flat(context_lens)),
         )
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)
@@ -237,8 +239,8 @@ class GroupRunner:
             block_tables[i, : len(v.block_table)] = v.block_table
             sel_rows[i] = i * lq_pad + n - 1
         self.kv, logits = self._jit_prefill(
-            self.params, self.kv, tokens.reshape(-1), positions.reshape(-1),
-            slots.reshape(-1), block_tables, q_positions, sel_rows,
+            self.params, self.rope_table, self.kv, tokens.reshape(-1),
+            positions.reshape(-1), slots.reshape(-1), block_tables, q_positions, sel_rows,
         )
         return logits
 
@@ -266,7 +268,8 @@ class GroupRunner:
             views, b_pad, m_pad, with_slots=True
         )
         self.kv, logits = self._jit_decode(
-            self.params, self.kv, tokens, positions, slots, block_tables, context_lens
+            self.params, self.rope_table, self.kv, tokens, positions, slots,
+            block_tables, context_lens,
         )
         return logits
 
@@ -278,8 +281,8 @@ class GroupRunner:
             views, b_pad, m_pad, with_slots=False
         )
         self.kv, toks = self._jit_gamma(
-            self.params, self.kv, tokens, positions, block_tables, context_lens,
-            gamma=gamma,
+            self.params, self.rope_table, self.kv, tokens, positions, block_tables,
+            context_lens, gamma=gamma,
         )
         return toks
 
@@ -304,7 +307,8 @@ class GroupRunner:
             slots[i, :num_input] = [v.token_to_slot(p) for p in pos]
             block_tables[i, : len(v.block_table)] = v.block_table
         self.kv, logits = self._jit_verify_fwd(
-            self.params, self.kv, tokens, positions, slots, block_tables, context_lens
+            self.params, self.rope_table, self.kv, tokens, positions, slots,
+            block_tables, context_lens,
         )
         return logits
 
