@@ -100,7 +100,7 @@ def forward(
     positions: jax.Array,  # [N] int32
     slots: jax.Array,  # [N] int32 flat KV slot per token (garbage block for pads)
     rope_table: jax.Array,  # [max_pos, D] from build_rope_table
-    attn_fn,  # static: (q [N,Hq,D], layer_cache, *attn_args) -> o [N,Hq,D]
+    attn_fn,  # static: (q [N,Hq,D], cache, layer_idx, *attn_args) -> o [N,Hq,D]
     attn_args: tuple,  # traced attention metadata (block tables, lens, ...)
 ) -> tuple[jax.Array, jax.Array]:
     """Run the decoder stack; returns (hidden [N, H], updated kv_cache).
@@ -141,16 +141,11 @@ def forward(
         q = apply_rope(q, rope_rows)
         k = apply_rope(k, rope_rows)
 
-        layer_cache = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, li, axis=0, keepdims=False), cache
-        )
-        layer_cache = write_kv(layer_cache, k, v, slots)
-        cache = jax.tree.map(
-            lambda c, lc: jax.lax.dynamic_update_index_in_dim(c, lc, li, axis=0),
-            cache, layer_cache,
-        )
-
-        o = attn_fn(q, layer_cache, *attn_args)
+        # layer-folded scatter/gather on the FULL carried cache — no
+        # per-layer dynamic-slice + write-back (which XLA can lower to a
+        # whole-cache copy per layer inside the scan)
+        cache = write_kv(cache, k, v, slots, li)
+        o = attn_fn(q, cache, li, *attn_args)
         attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])
 
         res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)

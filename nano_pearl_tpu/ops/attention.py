@@ -27,44 +27,55 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nano_pearl_tpu.ops.kv_cache import cache_is_quantized, cache_kv_dims, dequant_rows
+from nano_pearl_tpu.ops.kv_cache import (
+    cache_is_quantized,
+    cache_kv_dims,
+    dequant_rows,
+    global_block_offsets,
+)
 
 NEG_INF = -1e30
 
 
-def _gather_kv(layer_cache, block_tables):
-    """Gather K and V rows for the given block-table rows, dequantizing
-    int8 caches after the gather (half the HBM read volume).
+def _gather_kv(cache, layer_idx, block_tables):
+    """Gather K and V rows for the given block-table rows from the FULL
+    cache via layer-folded block indices (see kv_cache.global_block_offsets),
+    dequantizing int8 caches after the gather (half the HBM read volume).
     Returns (k, v) shaped [..., M*BS, Hkv, D] float32."""
-    bs, hkv, d = cache_kv_dims(layer_cache)
+    bs, hkv, d = cache_kv_dims(cache)
     lead = block_tables.shape[:-1]
     m = block_tables.shape[-1]
     s_len = m * bs
-    if cache_is_quantized(layer_cache):
-        kq = layer_cache["q"][0][block_tables].reshape(*lead, s_len, hkv, d)
-        vq = layer_cache["q"][1][block_tables].reshape(*lead, s_len, hkv, d)
-        ks = layer_cache["s"][0][block_tables].reshape(*lead, s_len, hkv)
-        vs = layer_cache["s"][1][block_tables].reshape(*lead, s_len, hkv)
+    k_off, v_off = global_block_offsets(cache, layer_idx)
+    if cache_is_quantized(cache):
+        qb = cache["q"].reshape(-1, bs, hkv, d)
+        sb = cache["s"].reshape(-1, bs, hkv)
+        kq = qb[block_tables + k_off].reshape(*lead, s_len, hkv, d)
+        vq = qb[block_tables + v_off].reshape(*lead, s_len, hkv, d)
+        ks = sb[block_tables + k_off].reshape(*lead, s_len, hkv)
+        vs = sb[block_tables + v_off].reshape(*lead, s_len, hkv)
         return dequant_rows(kq, ks), dequant_rows(vq, vs)
-    k = layer_cache[0][block_tables].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
-    v = layer_cache[1][block_tables].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
+    blocks = cache.reshape(-1, bs, hkv, d)
+    k = blocks[block_tables + k_off].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
+    v = blocks[block_tables + v_off].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
     return k, v
 
 
 def paged_attention_jnp(
     q: jax.Array,  # [N, Hq, D]
-    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] (or int8 pytree)
+    layer_idx,  # traced int32
     block_tables: jax.Array,  # [N, M] int32 (padded entries may be any valid id)
     context_lens: jax.Array,  # [N] int32, number of valid KV tokens incl. self
     scale: float,
 ) -> jax.Array:
     n, hq, d = q.shape
-    bs, hkv, _d = cache_kv_dims(layer_cache)
+    bs, hkv, _d = cache_kv_dims(cache)
     m = block_tables.shape[1]
     s = m * bs
     g = hq // hkv
 
-    k, v = _gather_kv(layer_cache, block_tables)
+    k, v = _gather_kv(cache, layer_idx, block_tables)
 
     qg = q.reshape(n, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("nkgd,nskd->nkgs", qg, k) * scale
@@ -83,7 +94,8 @@ def paged_attention_jnp(
 
 def prefill_attention_jnp(
     q: jax.Array,  # [N = B*Lq, Hq, D] flat new-token queries, seq-major
-    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] (or int8 pytree)
+    layer_idx,  # traced int32
     block_tables: jax.Array,  # [B, M] int32, one row per sequence
     q_positions: jax.Array,  # [B, Lq] int32 absolute positions; -1 = padded row
     scale: float,
@@ -100,11 +112,11 @@ def prefill_attention_jnp(
     b, m = block_tables.shape
     n, hq, d = q.shape
     lq = n // b
-    bs, hkv, _d = cache_kv_dims(layer_cache)
+    bs, hkv, _d = cache_kv_dims(cache)
     s = m * bs
     g = hq // hkv
 
-    k, v = _gather_kv(layer_cache, block_tables)
+    k, v = _gather_kv(cache, layer_idx, block_tables)
     qb = q.reshape(b, lq, hkv, g, d).astype(jnp.float32)
 
     scores = jnp.einsum("blkgd,bskd->bklgs", qb, k) * scale
@@ -121,17 +133,17 @@ def prefill_attention_jnp(
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
-def paged_attention(q, layer_cache, block_tables, context_lens, scale, use_pallas=None):
+def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None):
     """Dispatch to the Pallas kernel when enabled, else the jnp path."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
         use_pallas = attention_enabled()
-    if use_pallas and not cache_is_quantized(layer_cache):
+    if use_pallas and not cache_is_quantized(cache):
         try:
             from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
         except ImportError:
             pass
         else:
-            return paged_attention_pallas(q, layer_cache, block_tables, context_lens, scale)
-    return paged_attention_jnp(q, layer_cache, block_tables, context_lens, scale)
+            return paged_attention_pallas(q, cache, layer_idx, block_tables, context_lens, scale)
+    return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)

@@ -72,11 +72,32 @@ def dequant_rows(q_rows: jax.Array, s_rows: jax.Array) -> jax.Array:
     return q_rows.astype(jnp.float32) * s_rows[..., None]
 
 
+def global_block_offsets(cache, layer_idx):
+    """(k_off, v_off): block-index offsets of layer ``layer_idx`` inside
+    the cache flattened to [(L*2*(NB+1)), BS, Hkv, D].
+
+    Layer-folded addressing lets every KV write be a scatter INTO the
+    full carried cache buffer and every read a gather FROM it — no
+    dynamic-slice + write-back of a layer, which XLA can turn into a
+    full-cache copy per layer inside scan/while loops (measured ~10x off
+    the HBM roofline before this layout)."""
+    arr = cache["q"] if cache_is_quantized(cache) else cache
+    nb1 = arr.shape[2]
+    k_off = (layer_idx * 2) * nb1
+    return k_off, k_off + nb1
+
+
+def _flat_rows(cache_arr):
+    l, two, nb1, bs = cache_arr.shape[:4]
+    return cache_arr.reshape((l * two * nb1,) + cache_arr.shape[3:])
+
+
 def write_kv(
-    layer_cache,  # [2, NB+1, BS, Hkv, D] array or {"q","s"} pytree
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] array or {"q","s"} pytree
     k: jax.Array,  # [N, Hkv, D]
     v: jax.Array,  # [N, Hkv, D]
     slots: jax.Array,  # [N] int32 flat slot = block_id * BS + offset
+    layer_idx,  # traced int32 scalar
 ):
     """Scatter new K/V rows into the paged cache by flat slot index.
 
@@ -85,9 +106,10 @@ def write_kv(
     For an int8 cache, rows are quantized with a per-(token, head) scale
     at write time.
     """
-    if cache_is_quantized(layer_cache):
-        qc, sc = layer_cache["q"], layer_cache["s"]
-        _, nb1, bs, hkv, d = qc.shape
+    k_off, v_off = global_block_offsets(cache, layer_idx)
+    if cache_is_quantized(cache):
+        qc, sc = cache["q"], cache["s"]
+        bs = qc.shape[3]
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
         k_amax = jnp.max(jnp.abs(kf), axis=-1)  # [N, Hkv]
@@ -96,18 +118,18 @@ def write_kv(
         v_s = jnp.maximum(v_amax, 1e-8) / 127.0
         k_q = jnp.clip(jnp.round(kf / k_s[..., None]), -127, 127).astype(jnp.int8)
         v_q = jnp.clip(jnp.round(vf / v_s[..., None]), -127, 127).astype(jnp.int8)
-        qflat = qc.reshape(2, nb1 * bs, hkv, d)
-        qflat = qflat.at[0, slots].set(k_q, mode="drop")
-        qflat = qflat.at[1, slots].set(v_q, mode="drop")
-        sflat = sc.reshape(2, nb1 * bs, hkv)
-        sflat = sflat.at[0, slots].set(k_s, mode="drop")
-        sflat = sflat.at[1, slots].set(v_s, mode="drop")
-        return {"q": qflat.reshape(qc.shape), "s": sflat.reshape(sc.shape)}
-    _, nb1, bs, hkv, d = layer_cache.shape
-    flat = layer_cache.reshape(2, nb1 * bs, hkv, d)
-    flat = flat.at[0, slots].set(k.astype(flat.dtype), mode="drop")
-    flat = flat.at[1, slots].set(v.astype(flat.dtype), mode="drop")
-    return flat.reshape(2, nb1, bs, hkv, d)
+        qrows = _flat_rows(qc).reshape(-1, *qc.shape[4:])  # [(L*2*NB1*BS), Hkv, D]
+        srows = _flat_rows(sc).reshape(-1, *sc.shape[4:])
+        qrows = qrows.at[k_off * bs + slots].set(k_q, mode="drop")
+        qrows = qrows.at[v_off * bs + slots].set(v_q, mode="drop")
+        srows = srows.at[k_off * bs + slots].set(k_s, mode="drop")
+        srows = srows.at[v_off * bs + slots].set(v_s, mode="drop")
+        return {"q": qrows.reshape(qc.shape), "s": srows.reshape(sc.shape)}
+    bs = cache.shape[3]
+    rows = cache.reshape(-1, *cache.shape[4:])  # [(L*2*NB1*BS), Hkv, D]
+    rows = rows.at[k_off * bs + slots].set(k.astype(rows.dtype), mode="drop")
+    rows = rows.at[v_off * bs + slots].set(v.astype(rows.dtype), mode="drop")
+    return rows.reshape(cache.shape)
 
 
 def garbage_slots(num_blocks: int, block_size: int, n: int) -> jnp.ndarray:

@@ -34,7 +34,8 @@ NEG_INF = -1e30
 
 def _kernel(
     # scalar prefetch
-    block_tables_ref,  # [N, M] int32 (SMEM)
+    bt_k_ref,  # [N, M] int32 (SMEM) layer-folded K block ids
+    bt_v_ref,  # [N, M] int32 (SMEM) layer-folded V block ids
     context_lens_ref,  # [N] int32 (SMEM)
     # blocks
     q_ref,  # [1, Hq, D]
@@ -118,25 +119,32 @@ def _kernel(
 
 def paged_attention_pallas(
     q: jax.Array,  # [N, Hq, D]
-    layer_cache: jax.Array,  # [2, NB+1, BS, Hkv, D]
+    cache: jax.Array,  # FULL cache [L, 2, NB+1, BS, Hkv, D] (bf16/f32 only)
+    layer_idx,  # traced int32
     block_tables: jax.Array,  # [N, M] int32
     context_lens: jax.Array,  # [N] int32
     scale: float,
     interpret: bool = False,
 ) -> jax.Array:
+    from nano_pearl_tpu.ops.kv_cache import global_block_offsets
+
     n, hq, d = q.shape
-    _, nb1, bs, hkv, _ = layer_cache.shape
+    l, _, nb1, bs, hkv, _ = cache.shape
     m = block_tables.shape[1]
+    blocks = cache.reshape(l * 2 * nb1, bs, hkv, d)
+    k_off, v_off = global_block_offsets(cache, layer_idx)
+    bt_k = block_tables + k_off
+    bt_v = block_tables + v_off
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n, m),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda ni, mi, bt, cl: (ni, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, bt, cl: (bt[ni, mi], 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, bt, cl: (bt[ni, mi], 0, 0, 0)),
+            pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda ni, mi, bt, cl: (ni, 0, 0)),
+        out_specs=pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
@@ -151,5 +159,5 @@ def paged_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
         interpret=interpret,
-    )(block_tables, context_lens, q, layer_cache[0], layer_cache[1])
+    )(bt_k, bt_v, context_lens, q, blocks, blocks)
     return out

@@ -124,13 +124,19 @@ def test_tp_sharded_engine_matches_tp1(tmp_path):
     torch = pytest.importorskip("torch")
 
     def mk(path, hidden, heads, kv):
-        torch.manual_seed(hash(path) % 2**31)
+        torch.manual_seed(hash(str(path)) % 2**31)
         cfg = transformers.LlamaConfig(
             hidden_size=hidden, intermediate_size=hidden * 2, num_hidden_layers=2,
             num_attention_heads=heads, num_key_value_heads=kv, vocab_size=211,
             max_position_embeddings=256, torch_dtype="float32",
         )
-        transformers.AutoModelForCausalLM.from_config(cfg).float().save_pretrained(str(path))
+        model = transformers.AutoModelForCausalLM.from_config(cfg).float()
+        with torch.no_grad():
+            # sharpen logit margins: TP changes fp reduction order by
+            # ~1 ulp, which flips argmax on the near-ties random tiny
+            # models produce; greedy parity needs real margins
+            model.lm_head.weight.mul_(8.0)
+        model.save_pretrained(str(path))
         return str(path)
 
     d_path = mk(tmp_path / "draft", 64, 4, 2)

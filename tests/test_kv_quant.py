@@ -17,12 +17,10 @@ def _filled_caches(rng, nb=4, bs=16, hkv=2, d=64, n=48):
     """Write the same random K/V rows into an fp32 and an int8 cache."""
     fp = make_kv_cache(1, nb, bs, hkv, d, dtype=jnp.float32)
     q8 = make_kv_cache(1, nb, bs, hkv, d, quant="int8")
-    fp_l = jnp.squeeze(fp, 0)
-    q8_l = {"q": jnp.squeeze(q8["q"], 0), "s": jnp.squeeze(q8["s"], 0)}
     k = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32)) * 3
     v = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32))
     slots = jnp.arange(n, dtype=jnp.int32)
-    return write_kv(fp_l, k, v, slots), write_kv(q8_l, k, v, slots)
+    return write_kv(fp, k, v, slots, 0), write_kv(q8, k, v, slots, 0)
 
 
 def test_int8_cache_write_roundtrip():
@@ -30,8 +28,8 @@ def test_int8_cache_write_roundtrip():
     fp, q8 = _filled_caches(rng)
     from nano_pearl_tpu.ops.kv_cache import dequant_rows
 
-    k_fp = np.asarray(fp[0]).reshape(-1, 2, 64)[:48]
-    k_q = np.asarray(dequant_rows(q8["q"][0], q8["s"][0])).reshape(-1, 2, 64)[:48]
+    k_fp = np.asarray(fp[0, 0]).reshape(-1, 2, 64)[:48]
+    k_q = np.asarray(dequant_rows(q8["q"][0, 0], q8["s"][0, 0])).reshape(-1, 2, 64)[:48]
     scale = np.abs(k_fp).max(-1, keepdims=True) / 127.0
     assert np.all(np.abs(k_fp - k_q) <= scale * 0.51 + 1e-6)
 
@@ -43,8 +41,8 @@ def test_int8_paged_attention_close_to_fp():
     q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
     bt = jnp.asarray(rng.integers(0, 3, (n, 3)).astype(np.int32))
     ctx = jnp.asarray(np.array([10, 30, 48], np.int32))
-    a_fp = np.asarray(paged_attention_jnp(q, fp, bt, ctx, 0.125))
-    a_q8 = np.asarray(paged_attention_jnp(q, q8, bt, ctx, 0.125))
+    a_fp = np.asarray(paged_attention_jnp(q, fp, 0, bt, ctx, 0.125))
+    a_q8 = np.asarray(paged_attention_jnp(q, q8, 0, bt, ctx, 0.125))
     assert np.abs(a_fp - a_q8).max() < 0.05 * np.abs(a_fp).max() + 1e-3
 
 
@@ -55,8 +53,8 @@ def test_int8_prefill_attention_close_to_fp():
     q = jnp.asarray(rng.standard_normal((b * lq, hq, d)).astype(np.float32))
     bt = jnp.asarray(rng.integers(0, 3, (b, 3)).astype(np.int32))
     q_pos = jnp.asarray(np.array([[0, 1, 2, 3], [5, 6, 7, 8]], np.int32))
-    a_fp = np.asarray(prefill_attention_jnp(q, fp, bt, q_pos, 0.125))
-    a_q8 = np.asarray(prefill_attention_jnp(q, q8, bt, q_pos, 0.125))
+    a_fp = np.asarray(prefill_attention_jnp(q, fp, 0, bt, q_pos, 0.125))
+    a_q8 = np.asarray(prefill_attention_jnp(q, q8, 0, bt, q_pos, 0.125))
     assert np.abs(a_fp - a_q8).max() < 0.05 * np.abs(a_fp).max() + 1e-3
 
 

@@ -28,19 +28,22 @@ def build_cache(rng, nb, bs, hkv, d, layers=1):
     return jnp.asarray(cache)
 
 
+LI = 0  # layer index used throughout (single-layer caches)
+
+
 def test_paged_attention_matches_dense():
     rng = np.random.default_rng(0)
     nb, bs, hkv, hq, d = 6, 8, 2, 4, 16
-    cache = build_cache(rng, nb, bs, hkv, d)[0]
+    cache = build_cache(rng, nb, bs, hkv, d)
     n = 3
     q = rng.standard_normal((n, hq, d)).astype(np.float32)
     block_tables = np.array([[0, 1, 2], [3, 4, 0], [5, 0, 0]], np.int32)
     ctx = np.array([20, 9, 3], np.int32)
     scale = d**-0.5
-    out = np.asarray(paged_attention_jnp(jnp.asarray(q), cache, jnp.asarray(block_tables), jnp.asarray(ctx), scale))
+    out = np.asarray(paged_attention_jnp(jnp.asarray(q), cache, LI, jnp.asarray(block_tables), jnp.asarray(ctx), scale))
 
-    kc = np.asarray(cache[0])
-    vc = np.asarray(cache[1])
+    kc = np.asarray(cache[0, 0])
+    vc = np.asarray(cache[0, 1])
     for i in range(n):
         k = kc[block_tables[i]].reshape(-1, hkv, d)
         v = vc[block_tables[i]].reshape(-1, hkv, d)
@@ -50,9 +53,9 @@ def test_paged_attention_matches_dense():
 
 def test_paged_attention_zero_context_is_finite():
     rng = np.random.default_rng(1)
-    cache = build_cache(rng, 2, 8, 2, 16)[0]
+    cache = build_cache(rng, 2, 8, 2, 16)
     q = jnp.asarray(rng.standard_normal((1, 4, 16)).astype(np.float32))
-    out = paged_attention_jnp(q, cache, jnp.zeros((1, 1), jnp.int32), jnp.zeros((1,), jnp.int32), 0.25)
+    out = paged_attention_jnp(q, cache, LI, jnp.zeros((1, 1), jnp.int32), jnp.zeros((1,), jnp.int32), 0.25)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -60,16 +63,16 @@ def test_prefill_attention_matches_dense_causal():
     rng = np.random.default_rng(2)
     nb, bs, hkv, hq, d = 4, 8, 2, 4, 16
     b, lq = 2, 5
-    cache = build_cache(rng, nb, bs, hkv, d)[0]
+    cache = build_cache(rng, nb, bs, hkv, d)
     block_tables = np.array([[0, 1], [2, 3]], np.int32)
     q_pos = np.array([[0, 1, 2, 3, 4], [3, 4, 5, 6, -1]], np.int32)  # seq2: prefix-cached 3, one pad
     q = rng.standard_normal((b * lq, hq, d)).astype(np.float32)
     scale = d**-0.5
     out = np.asarray(
-        prefill_attention_jnp(jnp.asarray(q), cache, jnp.asarray(block_tables), jnp.asarray(q_pos), scale)
+        prefill_attention_jnp(jnp.asarray(q), cache, LI, jnp.asarray(block_tables), jnp.asarray(q_pos), scale)
     ).reshape(b, lq, hq, d)
 
-    kc, vc = np.asarray(cache[0]), np.asarray(cache[1])
+    kc, vc = np.asarray(cache[0, 0]), np.asarray(cache[0, 1])
     for i in range(b):
         k = kc[block_tables[i]].reshape(-1, hkv, d)
         v = vc[block_tables[i]].reshape(-1, hkv, d)
@@ -81,12 +84,11 @@ def test_prefill_attention_matches_dense_causal():
 
 
 def test_write_kv_scatter_and_garbage():
-    cache = make_kv_cache(1, 2, 4, 2, 8, dtype=jnp.float32)[0]  # [2, 3, 4, 2, 8]
+    cache = make_kv_cache(1, 2, 4, 2, 8, dtype=jnp.float32)  # [1, 2, 3, 4, 2, 8]
     k = jnp.ones((3, 2, 8))
     v = jnp.full((3, 2, 8), 2.0)
     slots = jnp.asarray([0, 5, 2 * 4], jnp.int32)  # last goes to garbage block
-    out = write_kv(cache, k, v, slots)
-    out = np.asarray(out)
+    out = np.asarray(write_kv(cache, k, v, slots, 0))[0]
     assert (out[0, 0, 0] == 1).all() and (out[1, 0, 0] == 2).all()
     assert (out[0, 1, 1] == 1).all()
     assert (out[0, 2, 0] == 1).all()  # garbage block row written, harmless

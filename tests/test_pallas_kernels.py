@@ -14,14 +14,14 @@ from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 def test_paged_attention_pallas_matches_jnp(seed, hq, hkv):
     rng = np.random.default_rng(seed)
     nb, bs, d = 6, 16, 64
-    cache = jnp.asarray(rng.standard_normal((2, nb + 1, bs, hkv, d)).astype(np.float32))
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)).astype(np.float32))
     n, m = 5, 4
     q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
     bt = jnp.asarray(rng.integers(0, nb, (n, m)).astype(np.int32))
     ctx = jnp.asarray(rng.integers(1, m * bs + 1, (n,)).astype(np.int32))
     scale = d**-0.5
-    want = paged_attention_jnp(q, cache, bt, ctx, scale)
-    got = paged_attention_pallas(q, cache, bt, ctx, scale, interpret=True)
+    want = paged_attention_jnp(q, cache, 0, bt, ctx, scale)
+    got = paged_attention_pallas(q, cache, 0, bt, ctx, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
@@ -30,27 +30,27 @@ def test_paged_attention_pallas_staircase_ctx():
     same sequence sees one more token."""
     rng = np.random.default_rng(2)
     nb, bs, hkv, hq, d = 4, 16, 2, 8, 64
-    cache = jnp.asarray(rng.standard_normal((2, nb + 1, bs, hkv, d)).astype(np.float32))
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)).astype(np.float32))
     bt_row = rng.integers(0, nb, (1, 3)).astype(np.int32)
     bt = jnp.asarray(np.repeat(bt_row, 4, axis=0))
     q = jnp.asarray(rng.standard_normal((4, hq, d)).astype(np.float32))
     ctx = jnp.asarray(np.array([20, 21, 22, 23], np.int32))
     scale = d**-0.5
-    want = paged_attention_jnp(q, cache, bt, ctx, scale)
-    got = paged_attention_pallas(q, cache, bt, ctx, scale, interpret=True)
+    want = paged_attention_jnp(q, cache, 0, bt, ctx, scale)
+    got = paged_attention_pallas(q, cache, 0, bt, ctx, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
 def test_paged_attention_pallas_bf16():
     rng = np.random.default_rng(3)
     nb, bs, hkv, hq, d = 4, 16, 2, 8, 64
-    cache = jnp.asarray(rng.standard_normal((2, nb + 1, bs, hkv, d)), jnp.bfloat16)
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)), jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((3, hq, d)), jnp.bfloat16)
     bt = jnp.asarray(rng.integers(0, nb, (3, 2)).astype(np.int32))
     ctx = jnp.asarray(np.array([5, 16, 30], np.int32))
     scale = d**-0.5
-    want = paged_attention_jnp(q, cache, bt, ctx, scale)
-    got = paged_attention_pallas(q, cache, bt, ctx, scale, interpret=True)
+    want = paged_attention_jnp(q, cache, 0, bt, ctx, scale)
+    got = paged_attention_pallas(q, cache, 0, bt, ctx, scale, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
     )
