@@ -56,10 +56,14 @@ class PearlOrchestrator:
 
         from nano_pearl_tpu.engine.fused import FusedPearl
 
+        # The fused AR loop touches only the target group, so it is valid
+        # on any placement; the fused PEARL loop needs one program
+        # spanning both models (shared device set).
+        self._fused_impl = FusedPearl(pcfg, draft, target)
         self.fused: FusedPearl | None = None
         if pcfg.execution_mode in ("auto", "fused"):
             if FusedPearl.compatible(draft, target):
-                self.fused = FusedPearl(pcfg, draft, target)
+                self.fused = self._fused_impl
                 logger.info("fused on-device loop enabled (shared device set)")
             elif pcfg.execution_mode == "fused":
                 raise ValueError(
@@ -301,7 +305,7 @@ class PearlOrchestrator:
         group but discards its output; we skip that waste)."""
         start = time.perf_counter()
         self.prefill_all(target_only=True)
-        if self.fused is not None:
+        if self.pcfg.execution_mode != "overlap":
             self._fused_ar_run()
         else:
             while not self.scheduler.is_finished():
@@ -421,7 +425,7 @@ class PearlOrchestrator:
         remaining = steps_bound
         while remaining > 0:
             chunk = min(remaining, 256)
-            state = self.fused.run_ar(state, chunk, self._next_seed() * 100003)
+            state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
             remaining -= chunk
             if bool(np.asarray(state["finished"]).all()):
                 break
