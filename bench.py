@@ -60,26 +60,28 @@ def build_layer_share_pair(mc_draft, mc_target, seed):
 
     from nano_pearl_tpu.models.transformer import init_params
 
-    dp = init_params(mc_draft, jax.random.key(seed))
-    ext = init_params(
-        mc_target, jax.random.key(seed + 1)
-    )  # donor for the extension layers
     ld, lt = mc_draft.num_hidden_layers, mc_target.num_hidden_layers
     assert lt > ld
 
-    tp_layers = {}
-    for k, v in dp["layers"].items():
-        extension = ext["layers"][k][: lt - ld]
-        if k in ("wo", "wdown"):
-            extension = jnp.zeros_like(extension)  # residual passthrough
-        tp_layers[k] = jnp.concatenate([v, extension], axis=0)
-    tp = {
-        "embed": dp["embed"],
-        "layers": tp_layers,
-        "final_ln": dp["final_ln"],
-        "lm_head": dp["lm_head"],
-    }
-    return dp, tp
+    @jax.jit  # one compile; eager construction is slow on remote backends
+    def build(s):
+        dp = init_params(mc_draft, jax.random.key(s))
+        ext = init_params(mc_target, jax.random.key(s + 1))
+        tp_layers = {}
+        for k, v in dp["layers"].items():
+            extension = ext["layers"][k][: lt - ld]
+            if k in ("wo", "wdown"):
+                extension = jnp.zeros_like(extension)  # residual passthrough
+            tp_layers[k] = jnp.concatenate([v, extension], axis=0)
+        tp = {
+            "embed": dp["embed"],
+            "layers": tp_layers,
+            "final_ln": dp["final_ln"],
+            "lm_head": dp["lm_head"],
+        }
+        return dp, tp
+
+    return build(jnp.int64(seed))
 
 
 def main():
