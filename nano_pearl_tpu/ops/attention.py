@@ -119,17 +119,31 @@ def prefill_attention_jnp(
     k, v = _gather_kv(cache, layer_idx, block_tables)
     qb = q.reshape(b, lq, hkv, g, d).astype(jnp.float32)
 
-    scores = jnp.einsum("blkgd,bskd->bklgs", qb, k) * scale
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq, s), 2)
-    visible = kv_pos <= q_positions[:, :, None]  # [B, Lq, S]
-    scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
+    def chunk_attn(args):
+        qc, qpos_c = args  # [B, C, Hkv, G, D], [B, C]
+        c = qc.shape[1]
+        scores = jnp.einsum("blkgd,bskd->bklgs", qc, k) * scale
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, c, s), 2)
+        visible = kv_pos <= qpos_c[:, :, None]  # [B, C, S]
+        scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
+        mx = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(denom, 1e-30)
+        return jnp.einsum("bklgs,bskd->blkgd", p, v)
 
-    mx = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - mx)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(denom, 1e-30)
-
-    out = jnp.einsum("bklgs,bskd->blkgd", p, v)
+    # bound the materialized [B, H, C, S] score tile: long prompts would
+    # otherwise allocate O(Lq*S) at once (reference relies on flash-attn
+    # tiling for the same reason)
+    chunk = 128
+    if lq <= chunk or lq % chunk != 0:
+        out = chunk_attn((qb, q_positions))
+    else:
+        nc = lq // chunk
+        qs = qb.reshape(b, nc, chunk, hkv, g, d).transpose(1, 0, 2, 3, 4, 5)
+        ps = q_positions.reshape(b, nc, chunk).transpose(1, 0, 2)
+        out = jax.lax.map(chunk_attn, (qs, ps))  # [nc, B, C, Hkv, G, D]
+        out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, lq, hkv, g, d)
     return out.reshape(n, hq, d).astype(q.dtype)
 
 

@@ -121,3 +121,20 @@ def test_mask_invalid_logits_blocks_padded_vocab():
     assert int(greedy(masked)[0]) == 1
     tok = sample(masked, jnp.asarray([1.0]), jax.random.key(0))
     assert int(tok[0]) < 2
+
+
+def test_prefill_attention_chunked_matches_paged_rows():
+    """The chunked prefill path (Lq > 128, divisible) must agree with
+    per-row paged attention on the same cache."""
+    rng = np.random.default_rng(7)
+    nb, bs, hkv, hq, d = 40, 16, 2, 4, 16
+    cache = build_cache(rng, nb, bs, hkv, d)
+    b, lq = 2, 256
+    bt = jnp.asarray(rng.integers(0, nb, (b, 20)).astype(np.int32))
+    q_pos = jnp.asarray(np.stack([np.arange(lq), np.arange(40, 40 + lq)]).astype(np.int32))
+    q = jnp.asarray(rng.standard_normal((b * lq, hq, d)).astype(np.float32))
+    chunked = prefill_attention_jnp(q, cache, LI, bt, q_pos, 0.25)
+    rows = paged_attention_jnp(
+        q, cache, LI, jnp.repeat(bt, lq, axis=0), (q_pos + 1).reshape(-1), 0.25
+    )
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(rows), rtol=2e-5, atol=2e-5)
