@@ -39,7 +39,7 @@ import numpy as np
 from nano_pearl_tpu.config import PearlConfig
 from nano_pearl_tpu.engine.runner import GroupRunner
 from nano_pearl_tpu.models.transformer import compute_logits, forward
-from nano_pearl_tpu.ops.attention import paged_attention
+from nano_pearl_tpu.ops.attention import paged_attention, paged_attention_grouped
 from nano_pearl_tpu.ops.sampling import greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 
@@ -116,11 +116,10 @@ class FusedPearl:
             tr.garbage_block * bs + (j % bs),
         )
         flat = lambda x: x.reshape(b * gamma)
-        bt_rows = jnp.repeat(bt, gamma, axis=0)
-        attn = partial(paged_attention, scale=tr.scale)
+        attn = partial(paged_attention_grouped, scale=tr.scale, rows_per_group=gamma)
         hidden, tkv = forward(
             tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
-            trope, attn, (bt_rows, flat(ctx)),
+            trope, attn, (bt, flat(ctx)),
         )
         logits = compute_logits(tcfg, tparams, hidden).reshape(b, gamma, -1)
         return tkv, logits

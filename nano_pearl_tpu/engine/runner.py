@@ -32,7 +32,11 @@ from nano_pearl_tpu.models.transformer import (
     init_params,
     make_rope_table,
 )
-from nano_pearl_tpu.ops.attention import paged_attention, prefill_attention_jnp
+from nano_pearl_tpu.ops.attention import (
+    paged_attention,
+    paged_attention_grouped,
+    prefill_attention_jnp,
+)
 from nano_pearl_tpu.ops.kv_cache import make_kv_cache
 from nano_pearl_tpu.ops.sampling import greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
@@ -192,11 +196,10 @@ class GroupRunner:
         on-device to per-token granularity."""
         b, g = tokens.shape
         flat = lambda x: x.reshape(b * g)
-        bt = jnp.repeat(block_tables, g, axis=0)  # [B*G, M]
-        attn = partial(paged_attention, scale=self.scale)
+        attn = partial(paged_attention_grouped, scale=self.scale, rows_per_group=g)
         hidden, kv = forward(
             self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
-            rope, attn, (bt, flat(context_lens)),
+            rope, attn, (block_tables, flat(context_lens)),
         )
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)

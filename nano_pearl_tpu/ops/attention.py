@@ -147,6 +147,32 @@ def prefill_attention_jnp(
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
+def paged_attention_grouped(
+    q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group,
+    use_pallas=None,
+):
+    """Packed-verify attention: ``rows_per_group`` query rows per sequence
+    share one block table (reference shape: pearl_model_runner.py:560-588).
+    The Pallas path amortizes each KV-block DMA across the group's rows."""
+    if use_pallas is None:
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        use_pallas = attention_enabled()
+    if use_pallas and not cache_is_quantized(cache):
+        try:
+            from nano_pearl_tpu.ops.pallas.paged_attention import (
+                paged_attention_pallas_grouped,
+            )
+        except ImportError:
+            pass
+        else:
+            return paged_attention_pallas_grouped(
+                q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group
+            )
+    bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
+    return paged_attention_jnp(q, cache, layer_idx, bt_rows, context_lens, scale)
+
+
 def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None):
     """Dispatch to the Pallas kernel when enabled, else the jnp path."""
     if use_pallas is None:

@@ -12,6 +12,13 @@ _FORCE = os.environ.get("NANO_PEARL_PALLAS")  # "1" force on, "0" force off
 
 
 def attention_enabled() -> bool:
-    # Opt-in (NANO_PEARL_PALLAS=1) until the kernel beats the XLA gather
-    # path across the bench shapes; parity is covered by tests either way.
-    return _FORCE == "1"
+    # Default ON for TPU: the XLA gather path materializes/copies the
+    # whole cache per layer inside compiled loops (measured 19.3 ->
+    # 2.36 ms/step for an 18L decode at 265-block cache when switching
+    # to the kernel). CPU runs the jnp path (kernels would interpret).
+    if _FORCE is not None:
+        return _FORCE == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

@@ -117,6 +117,157 @@ def _kernel(
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _grouped_kernel(
+    # scalar prefetch
+    bt_k_ref,  # [B, M] int32 layer-folded K block ids (per GROUP)
+    bt_v_ref,  # [B, M]
+    context_lens_ref,  # [B*R] int32 per query row
+    # blocks
+    q_ref,  # [R, Hq, D]
+    k_ref,  # [1, BS, Hkv, D]
+    v_ref,  # [1, BS, Hkv, D]
+    o_ref,  # [R, Hq, D]
+    # scratch
+    m_scr,  # [Hkv*R*G, 128]
+    l_scr,  # [Hkv*R*G, 128]
+    acc_scr,  # [Hkv*R*G, D]
+    *,
+    scale: float,
+    block_size: int,
+    num_kv_heads: int,
+    rows: int,
+):
+    """Like _kernel but R query rows (one sequence's packed-verify window)
+    share each KV block DMA — R x fewer HBM round trips for the PEARL
+    verify forward (reference shape: pearl_model_runner.py:560-588)."""
+    bi = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    block_start = m * block_size
+    ctx_rows_host = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows_host[0]
+    for c in ctx_rows_host[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)  # pad rows may have tiny ctx anywhere
+
+    @pl.when(block_start < ctx_max)
+    def _compute():
+        q = q_ref[...].astype(jnp.float32)  # [R, Hq, D]
+        k = k_ref[0].astype(jnp.float32)  # [BS, Hkv, D]
+        v = v_ref[0].astype(jnp.float32)
+        r, hq, d = q.shape
+        g = hq // num_kv_heads
+
+        # [R*G, 1] per-flat-row context bound (2D everywhere for Mosaic)
+        ctx_col = jnp.concatenate(
+            [jnp.full((g, 1), c, jnp.int32) for c in ctx_rows_host], axis=0
+        )  # [R*G, 1]
+        pos = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, (r * g, block_size), 1
+        )
+        row_mask = pos < ctx_col
+
+        s_parts = []
+        for kh in range(num_kv_heads):
+            qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
+            s = jax.lax.dot_general(
+                qh, k[:, kh, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R*G, BS]
+            s_parts.append(jnp.where(row_mask, s * scale, NEG_INF))
+        s2 = jnp.concatenate(s_parts, axis=0)  # [Hkv*R*G, BS]
+
+        m_prev = m_scr[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s2 - m_new)
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        pv_parts = []
+        for kh in range(num_kv_heads):
+            ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
+            pv_parts.append(
+                jax.lax.dot_general(
+                    ph, v[:, kh, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [R*G, D]
+            )
+        pv = jnp.concatenate(pv_parts, axis=0)  # [Hkv*R*G, D]
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:, 0:1] = m_new
+        l_scr[:, 0:1] = l_new
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        r = o_ref.shape[0]
+        hq = o_ref.shape[1]
+        d = o_ref.shape[2]
+        g = hq // num_kv_heads
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        out = acc_scr[...] / denom  # [Hkv*R*G, D], layout [kh, r, j]
+        for kh in range(num_kv_heads):
+            blk = jax.lax.slice(out, (kh * r * g, 0), ((kh + 1) * r * g, d))
+            o_ref[:, kh * g : (kh + 1) * g, :] = blk.reshape(r, g, d).astype(o_ref.dtype)
+
+
+def paged_attention_pallas_grouped(
+    q: jax.Array,  # [B*R, Hq, D] (R packed rows per sequence, seq-major)
+    cache: jax.Array,  # FULL cache [L, 2, NB+1, BS, Hkv, D]
+    layer_idx,
+    group_tables: jax.Array,  # [B, M] int32 (one table per sequence)
+    context_lens: jax.Array,  # [B*R] int32
+    scale: float,
+    rows_per_group: int,
+    interpret: bool = False,
+) -> jax.Array:
+    from nano_pearl_tpu.ops.kv_cache import global_block_offsets
+
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    l, _, nb1, bs, hkv, _ = cache.shape
+    m = group_tables.shape[1]
+    blocks = cache.reshape(l * 2 * nb1, bs, hkv, d)
+    k_off, v_off = global_block_offsets(cache, layer_idx)
+    bt_k = group_tables + k_off
+    bt_v = group_tables + v_off
+    g = hq // hkv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, m),
+        in_specs=[
+            pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0, 0)),
+            pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _grouped_kernel, scale=scale, block_size=bs, num_kv_heads=hkv, rows=r
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, q, blocks, blocks)
+    return out
+
+
 def paged_attention_pallas(
     q: jax.Array,  # [N, Hq, D]
     cache: jax.Array,  # FULL cache [L, 2, NB+1, BS, Hkv, D] (bf16/f32 only)
