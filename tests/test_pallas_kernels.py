@@ -54,3 +54,26 @@ def test_paged_attention_pallas_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("rows", [2, 4])
+def test_paged_attention_pallas_grouped_matches_jnp(rows):
+    """Grouped verify kernel: R rows per sequence share a block table;
+    includes pre-verify-style groups (row 0 long, padding rows ctx=1)."""
+    from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas_grouped
+
+    rng = np.random.default_rng(10 + rows)
+    nb, bs, hkv, hq, d = 8, 16, 2, 8, 64
+    cache = jnp.asarray(rng.standard_normal((2, 2, nb + 1, bs, hkv, d)).astype(np.float32))
+    b, m = 3, 4
+    bt = jnp.asarray(rng.integers(0, nb, (b, m)).astype(np.int32))
+    ctx = np.ones((b, rows), np.int32)
+    ctx[0] = np.arange(30, 30 + rows)  # staircase (post-verify)
+    ctx[1, 0] = 40  # pre-verify: single long row, rest padding
+    ctx[2] = np.arange(5, 5 + rows)
+    ctx = jnp.asarray(ctx.reshape(-1))
+    q = jnp.asarray(rng.standard_normal((b * rows, hq, d)).astype(np.float32))
+    for li in (0, 1):
+        want = paged_attention_jnp(q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125)
+        got = paged_attention_pallas_grouped(q, cache, li, bt, ctx, 0.125, rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
