@@ -33,10 +33,10 @@ def parse_args():
     p = argparse.ArgumentParser(description="nano-pearl-tpu benchmark")
     p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--gamma", type=int, default=4)
-    p.add_argument("--steps", type=int, default=50, help="fixed PEARL steps to time")
+    p.add_argument("--gamma", type=int, default=8)
+    p.add_argument("--steps", type=int, default=100, help="fixed PEARL steps to time")
     p.add_argument("--prompt-len", type=int, default=64)
-    p.add_argument("--ar-max-tokens", type=int, default=128)
+    p.add_argument("--ar-max-tokens", type=int, default=512)
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--ffn", type=int, default=4096)
     p.add_argument("--heads", type=int, default=16)
@@ -49,7 +49,17 @@ def parse_args():
     p.add_argument("--draft-tp", type=int, default=1)
     p.add_argument("--target-tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--block-size", type=int, default=256,
+        help="KV block size: reference default 256 (pearl_config.py:81); "
+        "large blocks keep the paged-attention DMA pipeline "
+        "bandwidth-bound instead of latency-bound",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--repeats", type=int, default=2,
+        help="measurement repeats; best throughput kept (tunnel-noise guard)",
+    )
     return p.parse_args()
 
 
@@ -94,6 +104,7 @@ def main():
         args.steps = 6
         args.prompt_len = 16
         args.ar_max_tokens = 12
+        args.block_size = 64  # short contexts; big blocks only waste here
 
     if args.cpu:
         import jax
@@ -141,8 +152,8 @@ def main():
         target_tp=args.target_tp,
         max_model_len=max_len,
         max_num_batched_tokens=max(16384, args.batch * args.prompt_len),
-        kvcache_block_size=64,
-        num_kvcache_blocks=args.batch * (max_len // 64) + 8,
+        kvcache_block_size=args.block_size,
+        num_kvcache_blocks=args.batch * (max_len // args.block_size) + 8,
         gamma=args.gamma,
         max_num_seqs=max(args.batch, 8),
         seed=args.seed,
@@ -165,19 +176,23 @@ def main():
     add_requests()
     engine.AR_generate_token_ids()
 
-    # ---- PEARL fixed-step measurement
-    add_requests()
-    _, num_tokens, num_acc, pearl_t = engine.bench_generate(num_pearl_steps=args.steps)
-    pearl_tokens = sum(num_tokens)
-    pearl_tps = pearl_tokens / pearl_t
-    mats = [sum(a) / max(1, len(a)) for a in num_acc]
-    mat = float(np.mean(mats))
+    # ---- PEARL fixed-step measurement (best of --repeats: the chip is
+    # reached over a shared tunnel; contention only ever slows a run down)
+    pearl_tps, mat = 0.0, 0.0
+    for _ in range(max(1, args.repeats)):
+        add_requests()
+        _, num_tokens, num_acc, pearl_t = engine.bench_generate(num_pearl_steps=args.steps)
+        tps = sum(num_tokens) / pearl_t
+        if tps > pearl_tps:
+            mats = [sum(a) / max(1, len(a)) for a in num_acc]
+            pearl_tps, mat = tps, float(np.mean(mats))
 
     # ---- AR baseline
-    add_requests()
-    _, ar_tokens, _, ar_t = engine.AR_generate_token_ids()
-    ar_total = sum(ar_tokens)
-    ar_tps = ar_total / ar_t
+    ar_tps = 0.0
+    for _ in range(max(1, args.repeats)):
+        add_requests()
+        _, ar_tokens, _, ar_t = engine.AR_generate_token_ids()
+        ar_tps = max(ar_tps, sum(ar_tokens) / ar_t)
 
     speedup = pearl_tps / ar_tps
     result = {

@@ -87,7 +87,7 @@ class FusedPearl:
         def step(carry, _):
             kv, toks, pos, cl = carry
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
-            attn = partial(paged_attention, scale=dr.scale)
+            attn = partial(paged_attention, scale=dr.scale, use_pallas=dr.use_pallas)
             hidden, kv = forward(
                 dcfg, dparams, kv, toks, pos, slots, drope, attn, (bt, cl)
             )
@@ -116,7 +116,7 @@ class FusedPearl:
             tr.garbage_block * bs + (j % bs),
         )
         flat = lambda x: x.reshape(b * gamma)
-        attn = partial(paged_attention_grouped, scale=tr.scale, rows_per_group=gamma)
+        attn = partial(paged_attention_grouped, scale=tr.scale, rows_per_group=gamma, use_pallas=tr.use_pallas)
         hidden, tkv = forward(
             tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
             trope, attn, (bt, flat(ctx)),
@@ -219,7 +219,7 @@ class FusedPearl:
             last = jnp.take_along_axis(tokens, jnp.clip(length - 1, 0)[:, None], axis=1)[:, 0]
             pos = length - 1
             slots = _row_slots(bt_t, pos[:, None], bs)[:, 0]
-            attn = partial(paged_attention, scale=tr.scale)
+            attn = partial(paged_attention, scale=tr.scale, use_pallas=tr.use_pallas)
             hidden, tkv = forward(
                 tcfg, tparams, tkv, last, pos, slots, trope, attn, (bt_t, length)
             )

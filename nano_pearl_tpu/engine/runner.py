@@ -68,6 +68,14 @@ class GroupRunner:
         self.name = gmesh.name
         self.block_size = pcfg.kvcache_block_size
         self.scale = mcfg.head_dim**-0.5
+        # Pallas kernels keyed off the platform this group ACTUALLY runs
+        # on (may differ from jax.default_backend(): e.g. a CPU dry-run
+        # mesh while a TPU plugin owns the default backend)
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        self.use_pallas = attention_enabled(
+            next(iter(gmesh.mesh.devices.flat)).platform
+        )
 
         shardings = param_shardings(mcfg, gmesh)
         if params is not None:
@@ -154,7 +162,7 @@ class GroupRunner:
 
     def _decode_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """One decode step for B rows (reference: step(), :319-331)."""
-        attn = partial(paged_attention, scale=self.scale)
+        attn = partial(paged_attention, scale=self.scale, use_pallas=self.use_pallas)
         hidden, kv = forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             attn, (block_tables, context_lens),
@@ -175,7 +183,7 @@ class GroupRunner:
                 jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0] * bs
                 + pos % bs
             )
-            attn = partial(paged_attention, scale=self.scale)
+            attn = partial(paged_attention, scale=self.scale, use_pallas=self.use_pallas)
             hidden, kv = forward(
                 self.cfg, params, kv, toks, pos, slots, rope,
                 attn, (block_tables, ctx),
@@ -196,7 +204,7 @@ class GroupRunner:
         on-device to per-token granularity."""
         b, g = tokens.shape
         flat = lambda x: x.reshape(b * g)
-        attn = partial(paged_attention_grouped, scale=self.scale, rows_per_group=g)
+        attn = partial(paged_attention_grouped, scale=self.scale, rows_per_group=g, use_pallas=self.use_pallas)
         hidden, kv = forward(
             self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
             rope, attn, (block_tables, flat(context_lens)),

@@ -54,7 +54,12 @@ class Scheduler:
     def schedule_prefill(self) -> list[Sequence]:
         scheduled: list[Sequence] = []
         num_tokens = 0
-        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+        # NB: admitted seqs join self.running inside the loop, so the seat
+        # check must use the count of seqs that were running BEFORE this
+        # admission pass (counting running+scheduled would tally each
+        # admitted seq twice and halve every batch).
+        already_running = len(self.running)
+        while self.waiting and already_running + len(scheduled) < self.max_num_seqs:
             seq = self.waiting[0]
             new_tokens = len(seq.target)  # upper bound; prefix hits reduce it
             if num_tokens + new_tokens > self.max_num_batched_tokens:

@@ -80,3 +80,20 @@ def test_clear_resets_everything():
     assert sch.draft_bm.num_free_blocks == 16
     assert sch.target_bm.num_free_blocks == 16
     assert not sch.draft_bm.hash_to_block
+
+
+def test_prefill_admits_full_batch_in_one_pass():
+    """All waiting seqs that fit must land in ONE admission batch: a seat
+    check that counts a seq both in running and scheduled would halve
+    every batch (16/8/4/2/1/1 for 32 waiting) and cost one device sync
+    per extra batch."""
+    cfg, sch = mk_sched(draft_blocks=256, target_blocks=256, max_num_seqs=32)
+    for _ in range(32):
+        sch.add(seq(8, cfg))
+    first = sch.schedule_prefill()
+    assert len(first) == 32
+
+    # and the seat limit still binds across passes
+    for _ in range(10):
+        sch.add(seq(8, cfg))
+    assert len(sch.schedule_prefill()) == 0
