@@ -34,9 +34,9 @@ def parse_args():
     p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--gamma", type=int, default=8)
-    p.add_argument("--steps", type=int, default=100, help="fixed PEARL steps to time")
+    p.add_argument("--steps", type=int, default=200, help="fixed PEARL steps to time")
     p.add_argument("--prompt-len", type=int, default=64)
-    p.add_argument("--ar-max-tokens", type=int, default=512)
+    p.add_argument("--ar-max-tokens", type=int, default=1024)
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--ffn", type=int, default=4096)
     p.add_argument("--heads", type=int, default=16)

@@ -424,7 +424,9 @@ class PearlOrchestrator:
         )
         remaining = steps_bound
         while remaining > 0:
-            chunk = min(remaining, 256)
+            # big chunks: the early-exit probe between chunks costs a
+            # host sync; the while_loop already stops when all rows finish
+            chunk = min(remaining, 1024)
             state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
             remaining -= chunk
             if bool(np.asarray(state["finished"]).all()):
@@ -434,14 +436,20 @@ class PearlOrchestrator:
     def _fused_sync(self, seqs, state, ar_only: bool = False):
         """Pull the device state machine back into host Sequence objects."""
         sch = self.scheduler
-        tokens = np.asarray(state["tokens"])
-        length = np.asarray(state["length"])
-        finished = np.asarray(state["finished"])
+        keys = ["tokens", "length", "finished"]
         if not ar_only:
-            pre = np.asarray(state["pre"])
-            cur_acc = np.asarray(state["cur_acc"])
-            emitted = np.asarray(state["emitted"]).astype(np.float64)
-            emit_cnt = np.asarray(state["emit_cnt"])
+            keys += ["pre", "cur_acc", "emitted", "emit_cnt"]
+        # one pipelined D2H for all arrays: sequential np.asarray pays a
+        # full tunnel round-trip per array (~30 ms each)
+        fetched = jax.device_get({k: state[k] for k in keys})
+        tokens, length, finished = (
+            fetched["tokens"], fetched["length"], fetched["finished"],
+        )
+        if not ar_only:
+            pre = fetched["pre"]
+            cur_acc = fetched["cur_acc"]
+            emitted = fetched["emitted"].astype(np.float64)
+            emit_cnt = fetched["emit_cnt"]
         for i, seq in enumerate(seqs):
             stream = tokens[i, : int(length[i])].tolist()
             seq.target.token_ids = stream
