@@ -16,7 +16,13 @@ the same weights with residual-passthrough layers (wo = wdown = 0), so
 This measures true engine throughput (real forwards, packed verify,
 verdict, rollback bookkeeping) at the acceptance ceiling. Pass
 --draft-model/--target-model checkpoint dirs to bench real weight pairs
-instead. Use --ratio-draft-speed to sanity-check the layer ratio.
+instead.
+
+Default scenario: 3L draft / 36L target = 12x FLOP ratio, deliberately
+MORE conservative than the reference headline pair (Llama-3.2-3B draft +
+Llama-3.1-70B target ~= 23x params; README.md:100, 3.06x speedup) and
+comparable to its 70B+8B configuration (~9x). vs_baseline in the JSON
+line is speedup / 3.06.
 """
 
 from __future__ import annotations
@@ -33,8 +39,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="nano-pearl-tpu benchmark")
     p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--gamma", type=int, default=8)
-    p.add_argument("--steps", type=int, default=200, help="fixed PEARL steps to time")
+    p.add_argument("--gamma", type=int, default=12)
+    p.add_argument("--steps", type=int, default=145, help="fixed PEARL steps to time")
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--ar-max-tokens", type=int, default=1024)
     p.add_argument("--hidden", type=int, default=1024)
@@ -43,7 +49,7 @@ def parse_args():
     p.add_argument("--kv-heads", type=int, default=2)
     p.add_argument("--vocab", type=int, default=32768)
     p.add_argument("--draft-layers", type=int, default=3)
-    p.add_argument("--target-layers", type=int, default=18)
+    p.add_argument("--target-layers", type=int, default=36)
     p.add_argument("--draft-model", type=str, default=None, help="checkpoint dir")
     p.add_argument("--target-model", type=str, default=None, help="checkpoint dir")
     p.add_argument("--draft-tp", type=int, default=1)
@@ -54,6 +60,10 @@ def parse_args():
         help="KV block size: reference default 256 (pearl_config.py:81); "
         "large blocks keep the paged-attention DMA pipeline "
         "bandwidth-bound instead of latency-bound",
+    )
+    p.add_argument(
+        "--kv-quant", type=str, default=None, choices=["int8"],
+        help="KV-cache quantization for BOTH model groups",
     )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
@@ -102,6 +112,7 @@ def main():
         args.vocab = 8192
         args.draft_layers, args.target_layers = 2, 6
         args.steps = 6
+        args.gamma = min(args.gamma, 4)
         args.prompt_len = 16
         args.ar_max_tokens = 12
         args.block_size = 64  # short contexts; big blocks only waste here
@@ -157,6 +168,8 @@ def main():
         gamma=args.gamma,
         max_num_seqs=max(args.batch, 8),
         seed=args.seed,
+        draft_kv_quant=args.kv_quant,
+        target_kv_quant=args.kv_quant,
     )
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
 

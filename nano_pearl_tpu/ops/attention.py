@@ -158,17 +158,14 @@ def paged_attention_grouped(
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
         use_pallas = attention_enabled()
-    if use_pallas and not cache_is_quantized(cache):
-        try:
-            from nano_pearl_tpu.ops.pallas.paged_attention import (
-                paged_attention_pallas_grouped,
-            )
-        except ImportError:
-            pass
-        else:
-            return paged_attention_pallas_grouped(
-                q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group
-            )
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import (
+            paged_attention_pallas_grouped,
+        )
+
+        return paged_attention_pallas_grouped(
+            q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group
+        )
     bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
     return paged_attention_jnp(q, cache, layer_idx, bt_rows, context_lens, scale)
 
@@ -179,11 +176,8 @@ def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
         use_pallas = attention_enabled()
-    if use_pallas and not cache_is_quantized(cache):
-        try:
-            from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
-        except ImportError:
-            pass
-        else:
-            return paged_attention_pallas(q, cache, layer_idx, block_tables, context_lens, scale)
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
+
+        return paged_attention_pallas(q, cache, layer_idx, block_tables, context_lens, scale)
     return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)

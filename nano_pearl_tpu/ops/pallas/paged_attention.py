@@ -18,6 +18,10 @@ Design:
 - per-row context lengths give the per-token staircase masking the
   PEARL verify forward needs; padded table entries point at the garbage
   block and are masked out by the context length.
+- INT8 KV caches ({"q","s"} pytrees, ops/kv_cache.py) are dequantized
+  in-kernel from the per-(slot, head) scales: half the HBM block traffic
+  of bf16 at identical mask/softmax semantics (north-star KV-cache
+  quantization at speed).
 """
 
 from __future__ import annotations
@@ -32,24 +36,134 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+# --------------------------------------------------------- shared math
+
+
+def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
+               block_size, num_kv_heads):
+    """One flash update for a single query row: q [Hq, D] f32, k/v
+    [BS, Hkv, D] f32, scalar ctx bound."""
+    hq, d = q.shape
+    g = hq // num_kv_heads
+
+    # per-kv-head 2D matmuls (static unroll over the few kv heads —
+    # Mosaic wants plain [M,K]x[K,N] contractions on the MXU)
+    s_parts = []
+    for kh in range(num_kv_heads):
+        qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
+        kh_blk = k[:, kh, :]  # [BS, D]
+        s_parts.append(
+            jax.lax.dot_general(
+                qh, kh_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, BS]
+        )
+    s2 = jnp.concatenate(s_parts, axis=0) * scale  # [Hq, BS]
+    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    s2 = jnp.where(pos < ctx, s2, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s2 - m_new)  # [Hq, BS]
+
+    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv_parts = []
+    for kh in range(num_kv_heads):
+        ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
+        vh = v[:, kh, :]  # [BS, D]
+        pv_parts.append(
+            jax.lax.dot_general(
+                ph, vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, D]
+        )
+    pv = jnp.concatenate(pv_parts, axis=0)  # [Hq, D]
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+
+def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
+               block_size, num_kv_heads):
+    """One flash update for R grouped query rows sharing a KV block:
+    q [R, Hq, D] f32, k/v [BS, Hkv, D] f32, ctx_rows: R scalars."""
+    r, hq, d = q.shape
+    g = hq // num_kv_heads
+
+    # [R*G, 1] per-flat-row context bound (2D everywhere for Mosaic)
+    ctx_col = jnp.concatenate(
+        [jnp.full((g, 1), c, jnp.int32) for c in ctx_rows], axis=0
+    )  # [R*G, 1]
+    pos = block_start + jax.lax.broadcasted_iota(
+        jnp.int32, (r * g, block_size), 1
+    )
+    row_mask = pos < ctx_col
+
+    s_parts = []
+    for kh in range(num_kv_heads):
+        qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
+        s = jax.lax.dot_general(
+            qh, k[:, kh, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R*G, BS]
+        s_parts.append(jnp.where(row_mask, s * scale, NEG_INF))
+    s2 = jnp.concatenate(s_parts, axis=0)  # [Hkv*R*G, BS]
+
+    m_prev = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s2 - m_new)
+    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    pv_parts = []
+    for kh in range(num_kv_heads):
+        ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
+        pv_parts.append(
+            jax.lax.dot_general(
+                ph, v[:, kh, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R*G, D]
+        )
+    pv = jnp.concatenate(pv_parts, axis=0)  # [Hkv*R*G, D]
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+
+
+def _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads):
+    r = o_ref.shape[0]
+    hq = o_ref.shape[1]
+    d = o_ref.shape[2]
+    g = hq // num_kv_heads
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    out = acc_scr[...] / denom  # [Hkv*R*G, D], layout [kh, r, j]
+    for kh in range(num_kv_heads):
+        blk = jax.lax.slice(out, (kh * r * g, 0), ((kh + 1) * r * g, d))
+        o_ref[:, kh * g : (kh + 1) * g, :] = blk.reshape(r, g, d).astype(o_ref.dtype)
+
+
+def _init_scratch(m_scr, l_scr, acc_scr):
+    m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+
+# ------------------------------------------------------ bf16/f32 kernels
+
+
 def _kernel(
-    # scalar prefetch
-    bt_k_ref,  # [N, M] int32 (SMEM) layer-folded K block ids
-    bt_v_ref,  # [N, M] int32 (SMEM) layer-folded V block ids
-    context_lens_ref,  # [N] int32 (SMEM)
-    # blocks
+    bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch (SMEM)
     q_ref,  # [1, Hq, D]
     k_ref,  # [1, BS, Hkv, D]
     v_ref,  # [1, BS, Hkv, D]
     o_ref,  # [1, Hq, D]
-    # scratch
-    m_scr,  # [Hq, 128] f32 running max (col 0 used)
-    l_scr,  # [Hq, 128] f32 running denom (col 0 used)
-    acc_scr,  # [Hq, D] f32 running numerator
-    *,
-    scale: float,
-    block_size: int,
-    num_kv_heads: int,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int,
 ):
     n = pl.program_id(0)
     m = pl.program_id(1)
@@ -58,58 +172,19 @@ def _kernel(
 
     @pl.when(m == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        _init_scratch(m_scr, l_scr, acc_scr)
 
     block_start = m * block_size
 
     @pl.when(block_start < ctx)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # [Hq, D]
-        k = k_ref[0].astype(jnp.float32)  # [BS, Hkv, D]
-        v = v_ref[0].astype(jnp.float32)
-        hq, d = q.shape
-        g = hq // num_kv_heads
-
-        # per-kv-head 2D matmuls (static unroll over the few kv heads —
-        # Mosaic wants plain [M,K]x[K,N] contractions on the MXU)
-        s_parts = []
-        for kh in range(num_kv_heads):
-            qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
-            kh_blk = k[:, kh, :]  # [BS, D]
-            s_parts.append(
-                jax.lax.dot_general(
-                    qh, kh_blk,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G, BS]
-            )
-        s2 = jnp.concatenate(s_parts, axis=0) * scale  # [Hq, BS]
-        pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
-        s2 = jnp.where(pos < ctx, s2, NEG_INF)
-
-        m_prev = m_scr[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s2 - m_new)  # [Hq, BS]
-
-        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv_parts = []
-        for kh in range(num_kv_heads):
-            ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
-            vh = v[:, kh, :]  # [BS, D]
-            pv_parts.append(
-                jax.lax.dot_general(
-                    ph, vh,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G, D]
-            )
-        pv = jnp.concatenate(pv_parts, axis=0)  # [Hq, D]
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:, 0:1] = m_new
-        l_scr[:, 0:1] = l_new
+        _sr_update(
+            q_ref[0].astype(jnp.float32),
+            k_ref[0].astype(jnp.float32),
+            v_ref[0].astype(jnp.float32),
+            ctx, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
 
     @pl.when(m == num_m - 1)
     def _finalize():
@@ -118,24 +193,12 @@ def _kernel(
 
 
 def _grouped_kernel(
-    # scalar prefetch
-    bt_k_ref,  # [B, M] int32 layer-folded K block ids (per GROUP)
-    bt_v_ref,  # [B, M]
-    context_lens_ref,  # [B*R] int32 per query row
-    # blocks
+    bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch
     q_ref,  # [R, Hq, D]
-    k_ref,  # [1, BS, Hkv, D]
-    v_ref,  # [1, BS, Hkv, D]
+    k_ref, v_ref,  # [1, BS, Hkv, D]
     o_ref,  # [R, Hq, D]
-    # scratch
-    m_scr,  # [Hkv*R*G, 128]
-    l_scr,  # [Hkv*R*G, 128]
-    acc_scr,  # [Hkv*R*G, D]
-    *,
-    scale: float,
-    block_size: int,
-    num_kv_heads: int,
-    rows: int,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
 ):
     """Like _kernel but R query rows (one sequence's packed-verify window)
     share each KV block DMA — R x fewer HBM round trips for the PEARL
@@ -146,81 +209,127 @@ def _grouped_kernel(
 
     @pl.when(m == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        _init_scratch(m_scr, l_scr, acc_scr)
 
     block_start = m * block_size
-    ctx_rows_host = [context_lens_ref[bi * rows + i] for i in range(rows)]
-    ctx_max = ctx_rows_host[0]
-    for c in ctx_rows_host[1:]:
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
         ctx_max = jnp.maximum(ctx_max, c)  # pad rows may have tiny ctx anywhere
 
     @pl.when(block_start < ctx_max)
     def _compute():
-        q = q_ref[...].astype(jnp.float32)  # [R, Hq, D]
-        k = k_ref[0].astype(jnp.float32)  # [BS, Hkv, D]
-        v = v_ref[0].astype(jnp.float32)
-        r, hq, d = q.shape
-        g = hq // num_kv_heads
-
-        # [R*G, 1] per-flat-row context bound (2D everywhere for Mosaic)
-        ctx_col = jnp.concatenate(
-            [jnp.full((g, 1), c, jnp.int32) for c in ctx_rows_host], axis=0
-        )  # [R*G, 1]
-        pos = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, (r * g, block_size), 1
+        _gr_update(
+            q_ref[...].astype(jnp.float32),
+            k_ref[0].astype(jnp.float32),
+            v_ref[0].astype(jnp.float32),
+            ctx_rows, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
         )
-        row_mask = pos < ctx_col
-
-        s_parts = []
-        for kh in range(num_kv_heads):
-            qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
-            s = jax.lax.dot_general(
-                qh, k[:, kh, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [R*G, BS]
-            s_parts.append(jnp.where(row_mask, s * scale, NEG_INF))
-        s2 = jnp.concatenate(s_parts, axis=0)  # [Hkv*R*G, BS]
-
-        m_prev = m_scr[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s2 - m_new)
-        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-        pv_parts = []
-        for kh in range(num_kv_heads):
-            ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
-            pv_parts.append(
-                jax.lax.dot_general(
-                    ph, v[:, kh, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [R*G, D]
-            )
-        pv = jnp.concatenate(pv_parts, axis=0)  # [Hkv*R*G, D]
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:, 0:1] = m_new
-        l_scr[:, 0:1] = l_new
 
     @pl.when(m == num_m - 1)
     def _finalize():
-        r = o_ref.shape[0]
-        hq = o_ref.shape[1]
-        d = o_ref.shape[2]
-        g = hq // num_kv_heads
+        _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+# ---------------------------------------------------------- int8 kernels
+
+
+def _kernel_q8(
+    bt_k_ref, bt_v_ref, context_lens_ref,
+    q_ref,  # [1, Hq, D]
+    k_ref,  # [1, BS, Hkv, D] int8
+    ks_ref,  # [1, BS, Hkv] f32 scales
+    v_ref, vs_ref,
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    n = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+    ctx = context_lens_ref[n]
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+
+    @pl.when(block_start < ctx)
+    def _compute():
+        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]
+        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        _sr_update(
+            q_ref[0].astype(jnp.float32), k, v,
+            ctx, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
         denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
-        out = acc_scr[...] / denom  # [Hkv*R*G, D], layout [kh, r, j]
-        for kh in range(num_kv_heads):
-            blk = jax.lax.slice(out, (kh * r * g, 0), ((kh + 1) * r * g, d))
-            o_ref[:, kh * g : (kh + 1) * g, :] = blk.reshape(r, g, d).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _grouped_kernel_q8(
+    bt_k_ref, bt_v_ref, context_lens_ref,
+    q_ref,  # [R, Hq, D]
+    k_ref, ks_ref, v_ref, vs_ref,
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    bi = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+
+    @pl.when(block_start < ctx_max)
+    def _compute():
+        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]
+        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        _gr_update(
+            q_ref[...].astype(jnp.float32), k, v,
+            ctx_rows, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+# ------------------------------------------------------------- dispatch
+
+
+def _cache_parts(cache, layer_idx, tables):
+    """(blocks, scales_or_None, bt_k, bt_v, dims). ``blocks`` is the
+    cache flattened to [(L*2*(NB+1)), BS, Hkv, D]; table entries are
+    layer-folded global block ids."""
+    from nano_pearl_tpu.ops.kv_cache import cache_is_quantized, global_block_offsets
+
+    quant = cache_is_quantized(cache)
+    arr = cache["q"] if quant else cache
+    l, _, nb1, bs, hkv, d = arr.shape
+    blocks = arr.reshape(l * 2 * nb1, bs, hkv, d)
+    scales = cache["s"].reshape(l * 2 * nb1, bs, hkv) if quant else None
+    k_off, v_off = global_block_offsets(cache, layer_idx)
+    return blocks, scales, tables + k_off, tables + v_off, (bs, hkv, d)
 
 
 def paged_attention_pallas_grouped(
     q: jax.Array,  # [B*R, Hq, D] (R packed rows per sequence, seq-major)
-    cache: jax.Array,  # FULL cache [L, 2, NB+1, BS, Hkv, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] or int8 {"q","s"} pytree
     layer_idx,
     group_tables: jax.Array,  # [B, M] int32 (one table per sequence)
     context_lens: jax.Array,  # [B*R] int32
@@ -228,27 +337,37 @@ def paged_attention_pallas_grouped(
     rows_per_group: int,
     interpret: bool = False,
 ) -> jax.Array:
-    from nano_pearl_tpu.ops.kv_cache import global_block_offsets
-
     n, hq, d = q.shape
     r = rows_per_group
     b = n // r
-    l, _, nb1, bs, hkv, _ = cache.shape
     m = group_tables.shape[1]
-    blocks = cache.reshape(l * 2 * nb1, bs, hkv, d)
-    k_off, v_off = global_block_offsets(cache, layer_idx)
-    bt_k = group_tables + k_off
-    bt_v = group_tables + v_off
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, group_tables
+    )
     g = hq // hkv
+
+    q_spec = pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0))
+    blk_k = pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0, 0))
+    blk_v = pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0, 0))
+    if scales is None:
+        in_specs = [q_spec, blk_k, blk_v]
+        inputs = (q, blocks, blocks)
+        kernel = functools.partial(
+            _grouped_kernel, scale=scale, block_size=bs, num_kv_heads=hkv, rows=r
+        )
+    else:
+        s_k = pl.BlockSpec((1, bs, hkv), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0))
+        s_v = pl.BlockSpec((1, bs, hkv), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0))
+        in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
+        inputs = (q, blocks, scales, blocks, scales)
+        kernel = functools.partial(
+            _grouped_kernel_q8, scale=scale, block_size=bs, num_kv_heads=hkv, rows=r
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, m),
-        in_specs=[
-            pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hkv * r * g, 128), jnp.float32),
@@ -256,45 +375,51 @@ def paged_attention_pallas_grouped(
             pltpu.VMEM((hkv * r * g, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _grouped_kernel, scale=scale, block_size=bs, num_kv_heads=hkv, rows=r
-    )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
         interpret=interpret,
-    )(bt_k, bt_v, context_lens, q, blocks, blocks)
-    return out
+    )(bt_k, bt_v, context_lens, *inputs)
 
 
 def paged_attention_pallas(
     q: jax.Array,  # [N, Hq, D]
-    cache: jax.Array,  # FULL cache [L, 2, NB+1, BS, Hkv, D] (bf16/f32 only)
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] or int8 {"q","s"} pytree
     layer_idx,  # traced int32
     block_tables: jax.Array,  # [N, M] int32
     context_lens: jax.Array,  # [N] int32
     scale: float,
     interpret: bool = False,
 ) -> jax.Array:
-    from nano_pearl_tpu.ops.kv_cache import global_block_offsets
-
     n, hq, d = q.shape
-    l, _, nb1, bs, hkv, _ = cache.shape
     m = block_tables.shape[1]
-    blocks = cache.reshape(l * 2 * nb1, bs, hkv, d)
-    k_off, v_off = global_block_offsets(cache, layer_idx)
-    bt_k = block_tables + k_off
-    bt_v = block_tables + v_off
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, block_tables
+    )
+
+    q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0))
+    blk_k = pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0, 0))
+    blk_v = pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0, 0))
+    if scales is None:
+        in_specs = [q_spec, blk_k, blk_v]
+        inputs = (q, blocks, blocks)
+        kernel = functools.partial(
+            _kernel, scale=scale, block_size=bs, num_kv_heads=hkv
+        )
+    else:
+        s_k = pl.BlockSpec((1, bs, hkv), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0))
+        s_v = pl.BlockSpec((1, bs, hkv), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0))
+        in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
+        inputs = (q, blocks, scales, blocks, scales)
+        kernel = functools.partial(
+            _kernel_q8, scale=scale, block_size=bs, num_kv_heads=hkv
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, m),
-        in_specs=[
-            pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0, 0)),
-            pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hq, 128), jnp.float32),
@@ -302,13 +427,9 @@ def paged_attention_pallas(
             pltpu.VMEM((hq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _kernel, scale=scale, block_size=bs, num_kv_heads=hkv
-    )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
         interpret=interpret,
-    )(bt_k, bt_v, context_lens, q, blocks, blocks)
-    return out
+    )(bt_k, bt_v, context_lens, *inputs)

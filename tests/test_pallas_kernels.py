@@ -77,3 +77,51 @@ def test_paged_attention_pallas_grouped_matches_jnp(rows):
         want = paged_attention_jnp(q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125)
         got = paged_attention_pallas_grouped(q, cache, li, bt, ctx, 0.125, rows, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def _random_int8_cache(rng, l, nb, bs, hkv, d):
+    from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
+
+    cache = make_kv_cache(l, nb, bs, hkv, d, quant="int8")
+    # fill every real slot through the write path (quantize-at-write)
+    for li in range(l):
+        k = jnp.asarray(rng.standard_normal((nb * bs, hkv, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((nb * bs, hkv, d)).astype(np.float32))
+        cache = write_kv(cache, k, v, jnp.arange(nb * bs, dtype=jnp.int32), li)
+    return cache
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 4)])
+def test_paged_attention_pallas_int8_matches_jnp(hq, hkv):
+    """In-kernel dequant of the {"q","s"} int8 cache == jnp dequant path."""
+    rng = np.random.default_rng(21)
+    nb, bs, d, l = 6, 16, 64, 2
+    cache = _random_int8_cache(rng, l, nb, bs, hkv, d)
+    n, m = 5, 4
+    q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
+    bt = jnp.asarray(rng.integers(0, nb, (n, m)).astype(np.int32))
+    ctx = jnp.asarray(rng.integers(1, m * bs + 1, (n,)).astype(np.int32))
+    for li in range(l):
+        want = paged_attention_jnp(q, cache, li, bt, ctx, d**-0.5)
+        got = paged_attention_pallas(q, cache, li, bt, ctx, d**-0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_paged_attention_pallas_grouped_int8_matches_jnp():
+    from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas_grouped
+
+    rng = np.random.default_rng(22)
+    nb, bs, hkv, hq, d, rows = 8, 16, 2, 8, 64, 3
+    cache = _random_int8_cache(rng, 2, nb, bs, hkv, d)
+    b, m = 3, 4
+    bt = jnp.asarray(rng.integers(0, nb, (b, m)).astype(np.int32))
+    ctx = np.ones((b, rows), np.int32)
+    ctx[0] = np.arange(30, 30 + rows)
+    ctx[1, 0] = 40
+    ctx[2] = np.arange(5, 5 + rows)
+    ctx = jnp.asarray(ctx.reshape(-1))
+    q = jnp.asarray(rng.standard_normal((b * rows, hq, d)).astype(np.float32))
+    for li in (0, 1):
+        want = paged_attention_jnp(q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125)
+        got = paged_attention_pallas_grouped(q, cache, li, bt, ctx, 0.125, rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
