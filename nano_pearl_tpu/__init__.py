@@ -31,6 +31,7 @@ __all__ = [
     "ModelConfig",
     "SamplingParams",
     "PearlEngine",
+    "DataParallelEngine",
     "logger",
 ]
 
@@ -42,4 +43,8 @@ def __getattr__(name):
         from nano_pearl_tpu.engine.engine import PearlEngine
 
         return PearlEngine
+    if name == "DataParallelEngine":
+        from nano_pearl_tpu.engine.dp import DataParallelEngine
+
+        return DataParallelEngine
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -388,13 +388,19 @@ class PearlOrchestrator:
             "eos_ids": np.asarray(self.target.cfg.eos_ids, np.int32),
         }
 
-    def _fused_pearl_run(self, gamma: int, num_steps: int | None):
-        """Run PEARL to completion (num_steps=None) or for a fixed number
-        of rounds, with at most one host sync per chunk."""
-        sch = self.scheduler
-        seqs = list(sch.running)
+    # The fused run is split into dispatch/probe/finish phases so a
+    # caller that owns SEVERAL orchestrators on disjoint device slices
+    # (engine/dp.py) can interleave their chunk dispatches — each
+    # replica's program runs concurrently on its own hardware while the
+    # host round-robins (the same async-dispatch overlap mechanism the
+    # draft||target groups use).
+
+    def start_fused(self, gamma: int, num_steps: int | None = None):
+        """Build the device state machine; returns an opaque run handle
+        (None when nothing is running)."""
+        seqs = list(self.scheduler.running)
         if not seqs:
-            return
+            return None
         if num_steps is not None:
             rounds_bound = num_steps
             cap_fn = lambda s: num_steps * gamma + 2 * gamma + 4
@@ -404,14 +410,39 @@ class PearlOrchestrator:
             rounds_bound = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
             cap_fn = lambda s: (s.max_tokens - s.num_completion_tokens) + 2 * gamma + 4
         state = self._build_fused_state(seqs, cap_fn)
-        remaining = rounds_bound
-        while remaining > 0:
-            chunk = remaining if num_steps is not None else min(remaining, 128)
-            state = self.fused.run_pearl(state, gamma, chunk, self._next_seed() * 100003)
-            remaining -= chunk
-            if remaining > 0 and bool(np.asarray(state["finished"]).all()):
+        return {
+            "seqs": seqs, "state": state, "gamma": gamma,
+            "remaining": rounds_bound, "fixed": num_steps is not None,
+        }
+
+    def step_fused(self, run) -> bool:
+        """Dispatch one chunk of rounds (async — returns without waiting
+        for the device). True when no further chunks remain."""
+        chunk = run["remaining"] if run["fixed"] else min(run["remaining"], 128)
+        run["state"] = self.fused.run_pearl(
+            run["state"], run["gamma"], chunk, self._next_seed() * 100003
+        )
+        run["remaining"] -= chunk
+        return run["remaining"] <= 0
+
+    def probe_fused(self, run) -> bool:
+        """Host sync on this run's device stream: all rows finished?"""
+        return bool(np.asarray(run["state"]["finished"]).all())
+
+    def end_fused(self, run):
+        self._fused_sync(run["seqs"], run["state"])
+
+    def _fused_pearl_run(self, gamma: int, num_steps: int | None):
+        """Run PEARL to completion (num_steps=None) or for a fixed number
+        of rounds, with at most one host sync per chunk."""
+        run = self.start_fused(gamma, num_steps)
+        if run is None:
+            return
+        while True:
+            done = self.step_fused(run)
+            if done or self.probe_fused(run):
                 break
-        self._fused_sync(seqs, state)
+        self.end_fused(run)
 
     def _fused_ar_run(self):
         sch = self.scheduler
