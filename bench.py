@@ -62,8 +62,12 @@ def parse_args():
         "bandwidth-bound instead of latency-bound",
     )
     p.add_argument(
-        "--kv-quant", type=str, default=None, choices=["int8"],
+        "--kv-quant", type=str, default=None, choices=["int8", "fp8"],
         help="KV-cache quantization for BOTH model groups",
+    )
+    p.add_argument(
+        "--quant", type=str, default=None, choices=["int8", "fp8"],
+        help="weight-only quantization for BOTH model groups",
     )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
@@ -170,6 +174,8 @@ def main():
         seed=args.seed,
         draft_kv_quant=args.kv_quant,
         target_kv_quant=args.kv_quant,
+        draft_quant=args.quant,
+        target_quant=args.quant,
     )
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
 

@@ -67,8 +67,8 @@ class ModelConfig:
     eos_token_id: int | list[int] = 2
     dtype: str = "bfloat16"
     rope_scaling: dict | None = None
-    quant: str | None = None  # None | "int8" (weight-only, per-out-channel)
-    kv_quant: str | None = None  # None | "int8" (KV cache, per-token-per-head scale)
+    quant: str | None = None  # None | "int8" | "fp8" (weight-only, per-out-channel)
+    kv_quant: str | None = None  # None | "int8" | "fp8" (KV cache, per-token-per-head scale)
 
     # Filled in by `pad_for_tp`; identical to the originals when no padding
     # was needed. Sharded dims must divide tp.
@@ -187,10 +187,10 @@ class PearlConfig:
     #   placement).
     # "auto": fused when device sets coincide, else overlap.
     execution_mode: str = "auto"
-    # weight-only quantization per model group (None | "int8")
+    # weight-only quantization per model group (None | "int8" | "fp8")
     draft_quant: str | None = None
     target_quant: str | None = None
-    # KV-cache quantization per model group (None | "int8")
+    # KV-cache quantization per model group (None | "int8" | "fp8")
     draft_kv_quant: str | None = None
     target_kv_quant: str | None = None
     # use the native C++ block-manager core (native/block_manager.cc)

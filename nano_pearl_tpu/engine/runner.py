@@ -79,7 +79,25 @@ class GroupRunner:
 
         shardings = param_shardings(mcfg, gmesh)
         if params is not None:
-            self.params = jax.device_put(params, shardings)
+            if mcfg.quant and not isinstance(params["layers"]["wq"], dict):
+                # caller handed plain weights but the config asks for
+                # weight-only quantization: quantize on device
+                from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, quantize_weight
+
+                def _quantize(p):
+                    p = dict(p, layers=dict(p["layers"]))
+                    for k in QUANTIZED_LAYER_KEYS:
+                        p["layers"][k] = quantize_weight(p["layers"][k], mcfg.quant)
+                    if not mcfg.tie_word_embeddings:
+                        p["lm_head"] = quantize_weight(
+                            p["lm_head"], mcfg.quant, contract_axis=-1
+                        )
+                    return p
+
+                with gmesh.mesh:
+                    self.params = jax.jit(_quantize, out_shardings=shardings)(params)
+            else:
+                self.params = jax.device_put(params, shardings)
         elif mcfg.model_path:
             self.params = load_params(mcfg, mcfg.model_path, shardings)
         else:
@@ -139,7 +157,7 @@ class GroupRunner:
             return _DEFAULT_CPU_BLOCKS
         free = stats["bytes_limit"] * pcfg.hbm_utilization - stats.get("bytes_in_use", 0)
         per_slot = mcfg.num_key_value_heads * (
-            mcfg.head_dim + 4 if mcfg.kv_quant == "int8" else
+            mcfg.head_dim + 4 if mcfg.kv_quant in ("int8", "fp8") else
             mcfg.head_dim * jnp.dtype(mcfg.dtype).itemsize
         )
         block_bytes = mcfg.num_hidden_layers * 2 * self.block_size * per_slot

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from nano_pearl_tpu.config import ModelConfig
 from nano_pearl_tpu.ops.kv_cache import write_kv
-from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, mm, mm_t, quantize_int8
+from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, mm, mm_t
 from nano_pearl_tpu.ops.rope import apply_rope, build_rope_table
 from nano_pearl_tpu.ops.sampling import mask_invalid_logits
 
@@ -84,11 +84,15 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
         "final_ln": jnp.ones((h,), dt),
         "lm_head": embed if cfg.tie_word_embeddings else rnd(v, h),
     }
-    if cfg.quant == "int8":
+    if cfg.quant:
+        from nano_pearl_tpu.ops.quant import quantize_weight
+
         for k in QUANTIZED_LAYER_KEYS:
-            params["layers"][k] = quantize_int8(params["layers"][k])
+            params["layers"][k] = quantize_weight(params["layers"][k], cfg.quant)
         if not cfg.tie_word_embeddings:
-            params["lm_head"] = quantize_int8(params["lm_head"], contract_axis=-1)
+            params["lm_head"] = quantize_weight(
+                params["lm_head"], cfg.quant, contract_axis=-1
+            )
     return params
 
 

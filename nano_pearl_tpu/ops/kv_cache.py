@@ -35,17 +35,21 @@ def make_kv_cache(
 
     Reference: pearl_model_runner.py:119-143 (allocate_kv_cache).
 
-    ``quant="int8"`` stores K/V as int8 with one scale per (slot, head)
-    — half the HBM traffic for the decode-attention gather (north-star
-    KV-cache quantization). The cache is then the pytree
-    {"q": int8 [L,2,NB+1,BS,Hkv,D], "s": f32 [L,2,NB+1,BS,Hkv]}.
+    ``quant="int8"`` / ``"fp8"`` store K/V as 1-byte values with one
+    scale per (slot, head) — half the HBM traffic for the
+    decode-attention gather (north-star KV-cache quantization). The
+    cache is then the pytree
+    {"q": int8|e4m3 [L,2,NB+1,BS,Hkv,D], "s": f32 [L,2,NB+1,BS,Hkv]}.
     """
+    from nano_pearl_tpu.ops.quant import quant_storage_dtype
+
     shape = (num_layers, 2, num_blocks + 1, block_size, n_kv_heads, head_dim)
-    if quant == "int8":
+    if quant in ("int8", "fp8"):
+        qdt = quant_storage_dtype(quant)
         q_sh = s_sh = None
         if sharding is not None:
             q_sh, s_sh = sharding["q"], sharding["s"]
-        q = jnp.zeros(shape, dtype=jnp.int8, device=q_sh) if q_sh else jnp.zeros(shape, jnp.int8)
+        q = jnp.zeros(shape, dtype=qdt, device=q_sh) if q_sh else jnp.zeros(shape, qdt)
         s = (
             jnp.zeros(shape[:-1], dtype=jnp.float32, device=s_sh)
             if s_sh
@@ -103,21 +107,29 @@ def write_kv(
 
     Equivalent of the reference Triton ``store_kvcache`` (attention.py:36-44);
     padded rows carry slots pointing into the garbage block rather than -1.
-    For an int8 cache, rows are quantized with a per-(token, head) scale
-    at write time.
+    For a quantized cache, rows are quantized with a per-(token, head)
+    scale at write time (int8: round-to-int grid; fp8 e4m3: convert).
     """
     k_off, v_off = global_block_offsets(cache, layer_idx)
     if cache_is_quantized(cache):
+        from nano_pearl_tpu.ops.quant import FP8_MAX
+
         qc, sc = cache["q"], cache["s"]
         bs = qc.shape[3]
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
         k_amax = jnp.max(jnp.abs(kf), axis=-1)  # [N, Hkv]
         v_amax = jnp.max(jnp.abs(vf), axis=-1)
-        k_s = jnp.maximum(k_amax, 1e-8) / 127.0
-        v_s = jnp.maximum(v_amax, 1e-8) / 127.0
-        k_q = jnp.clip(jnp.round(kf / k_s[..., None]), -127, 127).astype(jnp.int8)
-        v_q = jnp.clip(jnp.round(vf / v_s[..., None]), -127, 127).astype(jnp.int8)
+        if qc.dtype == jnp.int8:
+            k_s = jnp.maximum(k_amax, 1e-8) / 127.0
+            v_s = jnp.maximum(v_amax, 1e-8) / 127.0
+            k_q = jnp.clip(jnp.round(kf / k_s[..., None]), -127, 127).astype(jnp.int8)
+            v_q = jnp.clip(jnp.round(vf / v_s[..., None]), -127, 127).astype(jnp.int8)
+        else:  # float8_e4m3fn
+            k_s = jnp.maximum(k_amax, 1e-8) / FP8_MAX
+            v_s = jnp.maximum(v_amax, 1e-8) / FP8_MAX
+            k_q = jnp.clip(kf / k_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
+            v_q = jnp.clip(vf / v_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
         qrows = _flat_rows(qc).reshape(-1, *qc.shape[4:])  # [(L*2*NB1*BS), Hkv, D]
         srows = _flat_rows(sc).reshape(-1, *sc.shape[4:])
         qrows = qrows.at[k_off * bs + slots].set(k_q, mode="drop")

@@ -1,14 +1,16 @@
-"""Weight-only INT8 quantization (north-star capability, BASELINE.json:
-"INT8/FP8 weight-only ... quantization for the target model, matching
-reference acceptance rate at the same bit-width").
+"""Weight-only INT8/FP8 quantization (north-star capability,
+BASELINE.json: "INT8/FP8 weight-only ... quantization for the target
+model, matching reference acceptance rate at the same bit-width").
 
-Scheme: symmetric per-output-channel int8. A quantized weight is a
-pytree node ``{"q": int8 [..., out], "s": float32 [..., out-broadcast]}``
-and every matmul site goes through ``mm`` which dequantizes on the fly —
-the int8->bf16 convert fuses into the matmul's weight read on TPU, so
-HBM traffic for weights halves, which is the whole game for
-memory-bound decode. Acceptance-rate parity is tested in
-tests/test_quant.py.
+Scheme: symmetric per-output-channel 1-byte storage. A quantized weight
+is a pytree node ``{"q": int8|float8_e4m3fn [..., out], "s": float32
+[..., out-broadcast]}`` and every matmul site goes through ``mm`` which
+dequantizes on the fly — the 1-byte->bf16 convert fuses into the
+matmul's weight read on TPU, so HBM traffic for weights halves, which
+is the whole game for memory-bound decode. INT8 keeps uniform
+resolution within a channel; FP8 (e4m3) trades a little mantissa for
+per-element dynamic range, which tolerates outlier-heavy channels
+better. Acceptance-rate parity is tested in tests/test_quant.py.
 """
 
 from __future__ import annotations
@@ -16,9 +18,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# keys quantized when ModelConfig.quant == "int8"; out-channel is the
+# keys quantized when ModelConfig.quant is set; out-channel is the
 # LAST axis for all of them (weights stored [in, out])
 QUANTIZED_LAYER_KEYS = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown")
+
+FP8_DTYPE = jnp.float8_e4m3fn
+FP8_MAX = 448.0  # largest finite e4m3fn value
+WEIGHT_QUANT_KINDS = ("int8", "fp8")
 
 
 def quantize_int8(w: jax.Array, contract_axis: int = -2) -> dict:
@@ -30,6 +36,28 @@ def quantize_int8(w: jax.Array, contract_axis: int = -2) -> dict:
     s = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
     return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def quantize_fp8(w: jax.Array, contract_axis: int = -2) -> dict:
+    """Per-out-channel float8_e4m3fn: q = w / s in e4m3, s = amax/448.
+    Same pytree shape as int8 so every downstream consumer is agnostic."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / FP8_MAX
+    q = jnp.clip(wf / s, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def quantize_weight(w: jax.Array, kind: str, contract_axis: int = -2) -> dict:
+    if kind == "int8":
+        return quantize_int8(w, contract_axis)
+    if kind == "fp8":
+        return quantize_fp8(w, contract_axis)
+    raise ValueError(f"unknown weight quantization kind {kind!r}")
+
+
+def quant_storage_dtype(kind: str):
+    return jnp.int8 if kind == "int8" else FP8_DTYPE
 
 
 def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:

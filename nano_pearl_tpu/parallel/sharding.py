@@ -45,8 +45,8 @@ def param_specs(cfg: ModelConfig) -> dict:
     if cfg.qk_norm:
         layers.update({"q_norm": P(), "k_norm": P()})
     lm_head = P(t, None)
-    if cfg.quant == "int8":
-        # quantized leaves: {"q": int8 like the original, "s": per-out-
+    if cfg.quant:
+        # quantized leaves: {"q": int8/e4m3 like the original, "s": per-out-
         # channel scale with the contraction dim collapsed to 1 — so the
         # scale shards on the OUT dim only (replicated for row-parallel
         # weights whose out dim is unsharded)
@@ -85,7 +85,7 @@ def kv_cache_spec() -> P:
 
 
 def kv_cache_sharding(gmesh: GroupMesh, quant: str | None = None):
-    if quant == "int8":
+    if quant in ("int8", "fp8"):
         return {
             "q": NamedSharding(gmesh.mesh, kv_cache_spec()),
             # scales drop the head_dim axis

@@ -147,15 +147,23 @@ def load_params(
     params: dict = {"layers": {}}
 
     # ---- top-level tensors ----
-    quant = cfg.quant == "int8"
-    from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, quantize_int8
+    quant = cfg.quant in ("int8", "fp8")
+    from nano_pearl_tpu.ops.quant import (
+        QUANTIZED_LAYER_KEYS,
+        quant_storage_dtype,
+        quantize_weight,
+    )
+
+    qdtype = quant_storage_dtype(cfg.quant) if quant else None
 
     def put_maybe_quant(x, key_sharding, contract_axis):
         """Quantize on host then place q/s with their shardings."""
-        qd = quantize_int8(np.asarray(x, np.float32), contract_axis=contract_axis)
+        qd = quantize_weight(
+            np.asarray(x, np.float32), cfg.quant, contract_axis=contract_axis
+        )
         qsh = key_sharding if not isinstance(key_sharding, dict) else key_sharding
         return {
-            "q": _put(np.asarray(qd["q"]), jnp.int8, qsh["q"] if isinstance(qsh, dict) else None),
+            "q": _put(np.asarray(qd["q"]), qdtype, qsh["q"] if isinstance(qsh, dict) else None),
             "s": _put(np.asarray(qd["s"]), jnp.float32, qsh["s"] if isinstance(qsh, dict) else None),
         }
 
@@ -214,14 +222,15 @@ def load_params(
             params["layers"][key] = buf
         elif stream and quant_key:
             shd = sh("layers", key)
-            buf_q = jnp.zeros(shape, dtype=jnp.int8, device=shd["q"] if shd else None)
+            buf_q = jnp.zeros(shape, dtype=qdtype, device=shd["q"] if shd else None)
             s_shape = (num_layers, 1, shape[-1])
             buf_s = jnp.zeros(s_shape, dtype=jnp.float32, device=shd["s"] if shd else None)
-            from nano_pearl_tpu.ops.quant import quantize_int8 as _qz
 
             for i in range(num_layers):
-                qd = _qz(np.asarray(load_slice(i), np.float32), contract_axis=-2)
-                buf_q = _set_layer(buf_q, _put(np.asarray(qd["q"]), jnp.int8, None), i)
+                qd = quantize_weight(
+                    np.asarray(load_slice(i), np.float32), cfg.quant, contract_axis=-2
+                )
+                buf_q = _set_layer(buf_q, _put(np.asarray(qd["q"]), qdtype, None), i)
                 buf_s = _set_layer(buf_s, _put(np.asarray(qd["s"]), jnp.float32, None), i)
             params["layers"][key] = {"q": buf_q, "s": buf_s}
         elif quant_key:

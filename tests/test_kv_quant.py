@@ -87,3 +87,58 @@ def test_int8_kv_acceptance_window_sanity():
     _, _, acc, _ = eng.bench_generate(num_pearl_steps=6)
     mat = sum(acc[0]) / max(1, len(acc[0]))
     assert mat >= 2.0, f"int8-KV MAT {mat}"
+
+
+# ------------------------------------------------------------------ fp8
+
+
+def test_fp8_cache_write_roundtrip():
+    from nano_pearl_tpu.ops.kv_cache import dequant_rows
+
+    rng = np.random.default_rng(5)
+    fp = make_kv_cache(1, 4, 16, 2, 64, dtype=jnp.float32)
+    f8 = make_kv_cache(1, 4, 16, 2, 64, quant="fp8")
+    assert f8["q"].dtype == jnp.float8_e4m3fn
+    k = jnp.asarray(rng.standard_normal((48, 2, 64)).astype(np.float32)) * 3
+    v = jnp.asarray(rng.standard_normal((48, 2, 64)).astype(np.float32))
+    slots = jnp.arange(48, dtype=jnp.int32)
+    fp = write_kv(fp, k, v, slots, 0)
+    f8 = write_kv(f8, k, v, slots, 0)
+    k_fp = np.asarray(fp[0, 0]).reshape(-1, 2, 64)[:48]
+    k_q = np.asarray(dequant_rows(f8["q"][0, 0], f8["s"][0, 0])).reshape(-1, 2, 64)[:48]
+    assert np.all(np.abs(k_fp - k_q) <= np.abs(k_fp) * 0.0625 + 0.05)
+
+
+def test_fp8_paged_attention_close_to_fp():
+    rng = np.random.default_rng(6)
+    fp = make_kv_cache(1, 4, 16, 2, 64, dtype=jnp.float32)
+    f8 = make_kv_cache(1, 4, 16, 2, 64, quant="fp8")
+    k = jnp.asarray(rng.standard_normal((48, 2, 64)).astype(np.float32)) * 3
+    v = jnp.asarray(rng.standard_normal((48, 2, 64)).astype(np.float32))
+    slots = jnp.arange(48, dtype=jnp.int32)
+    fp = write_kv(fp, k, v, slots, 0)
+    f8 = write_kv(f8, k, v, slots, 0)
+    q = jnp.asarray(rng.standard_normal((3, 4, 64)).astype(np.float32))
+    bt = jnp.asarray(rng.integers(0, 3, (3, 3)).astype(np.int32))
+    ctx = jnp.asarray(np.array([10, 30, 48], np.int32))
+    a_fp = np.asarray(paged_attention_jnp(q, fp, 0, bt, ctx, 0.125))
+    a_q = np.asarray(paged_attention_jnp(q, f8, 0, bt, ctx, 0.125))
+    # e4m3 resolution is 2^-4 per element (vs int8's ~1/127), so the
+    # attention output tolerance is correspondingly looser than int8's
+    assert np.abs(a_fp - a_q).max() < 0.10 * np.abs(a_fp).max() + 1e-3
+
+
+def test_engine_with_fp8_kv_cache_lossless_vs_own_ar():
+    cfg = tiny_pearl_config(target_kv_quant="fp8", draft_kv_quant="fp8")
+    assert cfg.target_config.kv_quant == "fp8"
+    eng = PearlEngine(cfg)
+
+    def add():
+        eng.add_request([1, 2, 3, 4, 5], SamplingParams(temperature=0.0, max_tokens=16))
+
+    add()
+    p, _, _, _ = eng.generate_token_ids()
+    add()
+    a, _, _, _ = eng.AR_generate_token_ids()
+    n = min(len(p[0]), len(a[0]))
+    assert p[0][:n] == a[0][:n]

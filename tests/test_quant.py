@@ -146,3 +146,63 @@ def test_int8_weights_shard_at_tp3():
     eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=8))
     out, n, _, _ = eng.generate_token_ids()
     assert n == [8]
+
+
+# ------------------------------------------------------------------ fp8
+
+
+def test_fp8_quantize_roundtrip_error_bounded():
+    from nano_pearl_tpu.ops.quant import quantize_fp8
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    qd = quantize_fp8(jnp.asarray(w))
+    back = np.asarray(dequantize(qd, jnp.float32))
+    # e4m3 keeps 3 mantissa bits: relative error <= 2^-4 per element,
+    # plus one subnormal quantum near zero
+    scale = np.asarray(qd["s"])
+    assert np.all(np.abs(back - w) <= np.abs(w) * 0.0625 + scale * 2.0**-6 + 1e-6)
+
+
+def test_fp8_mm_close_to_fp():
+    from nano_pearl_tpu.ops.quant import quantize_fp8
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    want = x @ w
+    got = np.asarray(mm(jnp.asarray(x), quantize_fp8(jnp.asarray(w))))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.05
+
+
+def test_engine_with_fp8_target_is_lossless_vs_its_own_ar():
+    """Same losslessness invariant as int8: PEARL with an fp8 target
+    equals that fp8 target's own AR stream at T=0."""
+    cfg = tiny_pearl_config(target_quant="fp8")
+    assert cfg.target_config.quant == "fp8"
+    eng = PearlEngine(cfg)
+
+    def add():
+        eng.add_request([1, 2, 3, 4], SamplingParams(temperature=0.0, max_tokens=14))
+
+    add()
+    p, _, _, _ = eng.generate_token_ids()
+    add()
+    a, _, _, _ = eng.AR_generate_token_ids()
+    n = min(len(p[0]), len(a[0]))
+    assert p[0][:n] == a[0][:n]
+
+
+def test_fp8_weights_acceptance_sanity():
+    """fp8 target with draft == target weights sustains multi-token
+    acceptance windows (acceptance-rate parity proxy)."""
+    base = tiny_pearl_config(gamma=3)
+    donor = PearlEngine(base)
+    params = donor.target.params
+    cfg = tiny_pearl_config(gamma=3, target_quant="fp8")
+    eng = PearlEngine(cfg, draft_params=params, target_params=params)
+    eng.add_request([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True))
+    _, _, acc, _ = eng.bench_generate(num_pearl_steps=6)
+    mat = sum(acc[0]) / max(1, len(acc[0]))
+    assert mat >= 2.0, f"fp8 MAT {mat}"
