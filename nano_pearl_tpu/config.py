@@ -166,6 +166,12 @@ class PearlConfig:
     target_model: str | ModelConfig
     draft_tp: int = 1
     target_tp: int = 1
+    # Sequence (context) parallelism per group: the paged KV cache's
+    # block axis is sharded over an extra mesh axis and attention merges
+    # partial softmaxes across shards (parallel/sp.py). A group then
+    # spans tp*sp devices. Beyond the reference (SURVEY §2.8).
+    draft_sp: int = 1
+    target_sp: int = 1
     max_num_batched_tokens: int = 16384
     max_num_seqs: int = 256
     max_model_len: int = 4096

@@ -39,7 +39,8 @@ class PearlEngine:
         from each model's checkpoint directory."""
         self.config = config
         draft_mesh, target_mesh = build_group_meshes(
-            config.draft_tp, config.target_tp, config.devices, config.placement
+            config.draft_tp, config.target_tp, config.devices, config.placement,
+            draft_sp=config.draft_sp, target_sp=config.target_sp,
         )
         self.draft = GroupRunner(
             config, config.draft_config, draft_mesh, params=draft_params, seed=config.seed

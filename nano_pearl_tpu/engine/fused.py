@@ -39,7 +39,6 @@ import numpy as np
 from nano_pearl_tpu.config import PearlConfig
 from nano_pearl_tpu.engine.runner import GroupRunner
 from nano_pearl_tpu.models.transformer import compute_logits, forward
-from nano_pearl_tpu.ops.attention import paged_attention, paged_attention_grouped
 from nano_pearl_tpu.ops.sampling import greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 
@@ -87,9 +86,9 @@ class FusedPearl:
         def step(carry, _):
             kv, toks, pos, cl = carry
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
-            attn = partial(paged_attention, scale=dr.scale, use_pallas=dr.use_pallas)
             hidden, kv = forward(
-                dcfg, dparams, kv, toks, pos, slots, drope, attn, (bt, cl)
+                dcfg, dparams, kv, toks, pos, slots, drope,
+                dr._attn_decode, (bt, cl), kv_write_fn=dr._kv_write,
             )
             nxt = greedy(compute_logits(dcfg, dparams, hidden))
             return (kv, nxt, pos + 1, cl + 1), nxt
@@ -116,10 +115,10 @@ class FusedPearl:
             tr.garbage_block * bs + (j % bs),
         )
         flat = lambda x: x.reshape(b * gamma)
-        attn = partial(paged_attention_grouped, scale=tr.scale, rows_per_group=gamma, use_pallas=tr.use_pallas)
         hidden, tkv = forward(
             tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
-            trope, attn, (bt, flat(ctx)),
+            trope, partial(tr._attn_grouped, rows_per_group=gamma),
+            (bt, flat(ctx)), kv_write_fn=tr._kv_write,
         )
         logits = compute_logits(tcfg, tparams, hidden).reshape(b, gamma, -1)
         return tkv, logits
@@ -219,9 +218,9 @@ class FusedPearl:
             last = jnp.take_along_axis(tokens, jnp.clip(length - 1, 0)[:, None], axis=1)[:, 0]
             pos = length - 1
             slots = _row_slots(bt_t, pos[:, None], bs)[:, 0]
-            attn = partial(paged_attention, scale=tr.scale, use_pallas=tr.use_pallas)
             hidden, tkv = forward(
-                tcfg, tparams, tkv, last, pos, slots, trope, attn, (bt_t, length)
+                tcfg, tparams, tkv, last, pos, slots, trope,
+                tr._attn_decode, (bt_t, length), kv_write_fn=tr._kv_write,
             )
             logits = compute_logits(tcfg, tparams, hidden)
             if greedy_only:

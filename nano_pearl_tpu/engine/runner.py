@@ -37,7 +37,7 @@ from nano_pearl_tpu.ops.attention import (
     paged_attention_grouped,
     prefill_attention_jnp,
 )
-from nano_pearl_tpu.ops.kv_cache import make_kv_cache
+from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
 from nano_pearl_tpu.ops.sampling import greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 from nano_pearl_tpu.parallel.mesh import GroupMesh
@@ -109,7 +109,44 @@ class GroupRunner:
                 )(np.int64(seed))
         self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
 
+        # Sequence parallelism: sp-sharded KV + shard_map attention
+        # (parallel/sp.py); plain paths otherwise. The attention flavor
+        # and write path are picked ONCE here so every program builder
+        # below is agnostic.
+        self.sp_size = gmesh.sp_size
+        if self.sp_size > 1:
+            from nano_pearl_tpu.parallel.sp import (
+                sp_paged_attention,
+                sp_paged_attention_grouped,
+                sp_prefill_attention,
+                sp_write_kv,
+            )
+
+            mesh = gmesh.mesh
+            self._attn_decode = partial(sp_paged_attention, mesh, scale=self.scale)
+            self._attn_prefill = partial(sp_prefill_attention, mesh, scale=self.scale)
+            self._attn_grouped = partial(
+                sp_paged_attention_grouped, mesh, scale=self.scale
+            )
+            self._kv_write = partial(sp_write_kv, mesh)
+        else:
+            self._attn_decode = partial(
+                paged_attention, scale=self.scale, use_pallas=self.use_pallas
+            )
+            self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
+            self._attn_grouped = partial(
+                paged_attention_grouped, scale=self.scale, use_pallas=self.use_pallas
+            )
+            self._kv_write = write_kv
+
         self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
+        if self.sp_size > 1:
+            # the cache's block axis (num_blocks + 1 garbage block) is
+            # sharded over sp — round down so it divides evenly
+            self.num_blocks = max(
+                self.sp_size - 1,
+                (self.num_blocks + 1) // self.sp_size * self.sp_size - 1,
+            )
         self.kv = make_kv_cache(
             mcfg.num_hidden_layers,
             self.num_blocks,
@@ -161,7 +198,9 @@ class GroupRunner:
             mcfg.head_dim * jnp.dtype(mcfg.dtype).itemsize
         )
         block_bytes = mcfg.num_hidden_layers * 2 * self.block_size * per_slot
-        num = int(free * self.gmesh.tp_size) // block_bytes
+        # cache is sharded over kv heads (tp) AND blocks (sp): global
+        # capacity scales with the whole group
+        num = int(free * self.gmesh.tp_size * self.gmesh.sp_size) // block_bytes
         assert num > 0, f"[{self.name}] not enough HBM for any KV block"
         return num
 
@@ -171,19 +210,19 @@ class GroupRunner:
         """Flat [B*Lq] prefill; returns logits at each sequence's last row
         (reference: prefill path of run_model + ParallelLMHead last-token
         gather, embed_head.py:66-68)."""
-        attn = partial(prefill_attention_jnp, scale=self.scale)
         hidden, kv = forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
-            attn, (block_tables, q_positions),
+            self._attn_prefill, (block_tables, q_positions),
+            kv_write_fn=self._kv_write,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 
     def _decode_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """One decode step for B rows (reference: step(), :319-331)."""
-        attn = partial(paged_attention, scale=self.scale, use_pallas=self.use_pallas)
         hidden, kv = forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
-            attn, (block_tables, context_lens),
+            self._attn_decode, (block_tables, context_lens),
+            kv_write_fn=self._kv_write,
         )
         return kv, compute_logits(self.cfg, params, hidden)
 
@@ -201,10 +240,10 @@ class GroupRunner:
                 jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0] * bs
                 + pos % bs
             )
-            attn = partial(paged_attention, scale=self.scale, use_pallas=self.use_pallas)
             hidden, kv = forward(
                 self.cfg, params, kv, toks, pos, slots, rope,
-                attn, (block_tables, ctx),
+                self._attn_decode, (block_tables, ctx),
+                kv_write_fn=self._kv_write,
             )
             logits = compute_logits(self.cfg, params, hidden)
             nxt = greedy(logits)  # draft decodes greedily (reference :498-500)
@@ -222,10 +261,11 @@ class GroupRunner:
         on-device to per-token granularity."""
         b, g = tokens.shape
         flat = lambda x: x.reshape(b * g)
-        attn = partial(paged_attention_grouped, scale=self.scale, rows_per_group=g, use_pallas=self.use_pallas)
         hidden, kv = forward(
             self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
-            rope, attn, (block_tables, flat(context_lens)),
+            rope, partial(self._attn_grouped, rows_per_group=g),
+            (block_tables, flat(context_lens)),
+            kv_write_fn=self._kv_write,
         )
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)

@@ -106,6 +106,7 @@ def forward(
     rope_table: jax.Array,  # [max_pos, D] from build_rope_table
     attn_fn,  # static: (q [N,Hq,D], cache, layer_idx, *attn_args) -> o [N,Hq,D]
     attn_args: tuple,  # traced attention metadata (block tables, lens, ...)
+    kv_write_fn=write_kv,  # static; sequence-parallel groups localize writes (parallel/sp.py)
 ) -> tuple[jax.Array, jax.Array]:
     """Run the decoder stack; returns (hidden [N, H], updated kv_cache).
 
@@ -148,7 +149,7 @@ def forward(
         # layer-folded scatter/gather on the FULL carried cache — no
         # per-layer dynamic-slice + write-back (which XLA can lower to a
         # whole-cache copy per layer inside the scan)
-        cache = write_kv(cache, k, v, slots, li)
+        cache = kv_write_fn(cache, k, v, slots, li)
         o = attn_fn(q, cache, li, *attn_args)
         attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])
 

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nano_pearl_tpu.utils.logging import logger
 
 TP_AXIS = "tp"
+SP_AXIS = "sp"
 
 
 @dataclass
@@ -41,6 +42,10 @@ class GroupMesh:
     def tp_size(self) -> int:
         return self.mesh.shape[TP_AXIS]
 
+    @property
+    def sp_size(self) -> int:
+        return self.mesh.shape.get(SP_AXIS, 1)
+
     def sharding(self, *spec) -> NamedSharding:
         return NamedSharding(self.mesh, P(*spec))
 
@@ -49,11 +54,25 @@ class GroupMesh:
         return NamedSharding(self.mesh, P())
 
 
+def _group_mesh(name: str, devs: list, sp: int) -> GroupMesh:
+    """1-axis ("tp",) mesh when sp == 1 (keeps compiled-program caches
+    stable for the common case); ("sp", "tp") with sp OUTER otherwise, so
+    each tp group stays on ICI-adjacent devices."""
+    if sp == 1:
+        return GroupMesh(name, Mesh(np.array(devs), (TP_AXIS,)))
+    tp = len(devs) // sp
+    return GroupMesh(
+        name, Mesh(np.array(devs).reshape(sp, tp), (SP_AXIS, TP_AXIS))
+    )
+
+
 def build_group_meshes(
     draft_tp: int,
     target_tp: int,
     devices: list | None = None,
     placement: str = "disjoint",
+    draft_sp: int = 1,
+    target_sp: int = 1,
 ) -> tuple[GroupMesh, GroupMesh]:
     """Build the draft and target sub-meshes.
 
@@ -69,28 +88,37 @@ def build_group_meshes(
     overlap, but each model gets the full ICI width and the fused
     zero-sync loop (engine/fused.py) works multi-chip. Which placement
     wins is model/hardware dependent — benchmark both.
+
+    ``draft_sp``/``target_sp`` add a sequence-parallel (context-parallel)
+    mesh axis: a group spans tp*sp devices, its KV cache is sharded over
+    blocks on the sp axis, and attention merges per-shard partial
+    softmaxes (parallel/sp.py) — max_model_len memory and attention
+    compute scale with sp. New capability beyond the reference (SURVEY
+    §2.8: sequence/context parallel absent there).
     """
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
     n = len(devices)
+    d_n, t_n = draft_tp * draft_sp, target_tp * target_sp
     if placement == "union":
-        assert draft_tp == target_tp == n, (
-            f"union placement needs draft_tp == target_tp == num_devices "
-            f"({draft_tp}, {target_tp}, {n})"
+        assert draft_sp == target_sp, "union placement needs equal sp"
+        assert draft_tp == target_tp and d_n == n, (
+            f"union placement needs draft_tp == target_tp == num_devices/sp "
+            f"({draft_tp}, {target_tp}, {n}/{draft_sp})"
         )
         draft_devs = target_devs = devices
-    elif n >= draft_tp + target_tp:
-        draft_devs = devices[:draft_tp]
-        target_devs = devices[draft_tp : draft_tp + target_tp]
+    elif n >= d_n + t_n:
+        draft_devs = devices[:d_n]
+        target_devs = devices[d_n : d_n + t_n]
     else:
         logger.warning(
-            f"only {n} device(s) for draft_tp={draft_tp} + target_tp={target_tp}; "
+            f"only {n} device(s) for draft {d_n} + target {t_n}; "
             "groups will share devices (no cross-group overlap)."
         )
-        draft_devs = [devices[i % n] for i in range(draft_tp)]
-        target_devs = [devices[(i + draft_tp) % n] for i in range(target_tp)]
+        draft_devs = [devices[i % n] for i in range(d_n)]
+        target_devs = [devices[(i + d_n) % n] for i in range(t_n)]
 
-    draft = GroupMesh("draft", Mesh(np.array(draft_devs), (TP_AXIS,)))
-    target = GroupMesh("target", Mesh(np.array(target_devs), (TP_AXIS,)))
+    draft = _group_mesh("draft", draft_devs, draft_sp)
+    target = _group_mesh("target", target_devs, target_sp)
     return draft, target

@@ -77,18 +77,27 @@ def param_shardings(cfg: ModelConfig, gmesh: GroupMesh) -> dict:
     )
 
 
-def kv_cache_spec() -> P:
+def kv_cache_spec(sp: bool = False) -> P:
     """KV cache layout [L, 2, num_blocks, block_size, n_kv_heads, head_dim],
     sharded over kv heads (each TP shard owns its heads' cache —
-    reference: pearl_model_runner.py:125,134 shards kv heads per rank)."""
-    return P(None, None, None, None, TP_AXIS, None)
+    reference: pearl_model_runner.py:125,134 shards kv heads per rank)
+    and, under sequence parallelism, over the block axis (parallel/sp.py)."""
+    from nano_pearl_tpu.parallel.mesh import SP_AXIS
+
+    return P(None, None, SP_AXIS if sp else None, None, TP_AXIS, None)
 
 
 def kv_cache_sharding(gmesh: GroupMesh, quant: str | None = None):
+    from nano_pearl_tpu.parallel.mesh import SP_AXIS
+
+    sp = gmesh.sp_size > 1
     if quant in ("int8", "fp8"):
         return {
-            "q": NamedSharding(gmesh.mesh, kv_cache_spec()),
+            "q": NamedSharding(gmesh.mesh, kv_cache_spec(sp)),
             # scales drop the head_dim axis
-            "s": NamedSharding(gmesh.mesh, P(None, None, None, None, TP_AXIS)),
+            "s": NamedSharding(
+                gmesh.mesh,
+                P(None, None, SP_AXIS if sp else None, None, TP_AXIS),
+            ),
         }
-    return NamedSharding(gmesh.mesh, kv_cache_spec())
+    return NamedSharding(gmesh.mesh, kv_cache_spec(sp))
