@@ -172,6 +172,13 @@ class PearlConfig:
     # spans tp*sp devices. Beyond the reference (SURVEY §2.8).
     draft_sp: int = 1
     target_sp: int = 1
+    # Pipeline parallelism per group: stacked layer weights + the KV
+    # cache's layer axis shard over a pp mesh axis; activations hand off
+    # between stages over ICI (parallel/pp.py). A group spans tp*pp
+    # devices; num_hidden_layers must divide pp. Beyond the reference
+    # (SURVEY §2.8).
+    draft_pp: int = 1
+    target_pp: int = 1
     max_num_batched_tokens: int = 16384
     max_num_seqs: int = 256
     max_model_len: int = 4096

@@ -41,6 +41,7 @@ class PearlEngine:
         draft_mesh, target_mesh = build_group_meshes(
             config.draft_tp, config.target_tp, config.devices, config.placement,
             draft_sp=config.draft_sp, target_sp=config.target_sp,
+            draft_pp=config.draft_pp, target_pp=config.target_pp,
         )
         self.draft = GroupRunner(
             config, config.draft_config, draft_mesh, params=draft_params, seed=config.seed

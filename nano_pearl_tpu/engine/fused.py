@@ -86,7 +86,7 @@ class FusedPearl:
         def step(carry, _):
             kv, toks, pos, cl = carry
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
-            hidden, kv = forward(
+            hidden, kv = dr._forward(
                 dcfg, dparams, kv, toks, pos, slots, drope,
                 dr._attn_decode, (bt, cl), kv_write_fn=dr._kv_write,
             )
@@ -115,7 +115,7 @@ class FusedPearl:
             tr.garbage_block * bs + (j % bs),
         )
         flat = lambda x: x.reshape(b * gamma)
-        hidden, tkv = forward(
+        hidden, tkv = tr._forward(
             tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
             trope, partial(tr._attn_grouped, rows_per_group=gamma),
             (bt, flat(ctx)), kv_write_fn=tr._kv_write,
@@ -218,7 +218,7 @@ class FusedPearl:
             last = jnp.take_along_axis(tokens, jnp.clip(length - 1, 0)[:, None], axis=1)[:, 0]
             pos = length - 1
             slots = _row_slots(bt_t, pos[:, None], bs)[:, 0]
-            hidden, tkv = forward(
+            hidden, tkv = tr._forward(
                 tcfg, tparams, tkv, last, pos, slots, trope,
                 tr._attn_decode, (bt_t, length), kv_write_fn=tr._kv_write,
             )

@@ -109,6 +109,25 @@ class GroupRunner:
                 )(np.int64(seed))
         self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
 
+        # Pipeline parallelism: layer-sharded forward via shard_map
+        # (parallel/pp.py); the plain forward otherwise. Picked ONCE here
+        # so every program builder below is agnostic.
+        self.pp_size = gmesh.pp_size
+        if self.pp_size > 1:
+            from nano_pearl_tpu.parallel.pp import pp_forward
+
+            assert mcfg.num_hidden_layers % self.pp_size == 0, (
+                f"[{self.name}] num_hidden_layers={mcfg.num_hidden_layers} "
+                f"must divide pp={self.pp_size}"
+            )
+            self._forward = partial(pp_forward, gmesh.mesh)
+            # attention runs on each stage's local layer chunk inside the
+            # shard_map body; keep the jnp paths there (the Pallas kernels
+            # are a full-mesh GSPMD optimization)
+            self.use_pallas = False
+        else:
+            self._forward = forward
+
         # Sequence parallelism: sp-sharded KV + shard_map attention
         # (parallel/sp.py); plain paths otherwise. The attention flavor
         # and write path are picked ONCE here so every program builder
@@ -198,9 +217,11 @@ class GroupRunner:
             mcfg.head_dim * jnp.dtype(mcfg.dtype).itemsize
         )
         block_bytes = mcfg.num_hidden_layers * 2 * self.block_size * per_slot
-        # cache is sharded over kv heads (tp) AND blocks (sp): global
-        # capacity scales with the whole group
-        num = int(free * self.gmesh.tp_size * self.gmesh.sp_size) // block_bytes
+        # cache is sharded over kv heads (tp), blocks (sp) AND layers
+        # (pp): global capacity scales with the whole group
+        num = int(
+            free * self.gmesh.tp_size * self.gmesh.sp_size * self.gmesh.pp_size
+        ) // block_bytes
         assert num > 0, f"[{self.name}] not enough HBM for any KV block"
         return num
 
@@ -210,7 +231,7 @@ class GroupRunner:
         """Flat [B*Lq] prefill; returns logits at each sequence's last row
         (reference: prefill path of run_model + ParallelLMHead last-token
         gather, embed_head.py:66-68)."""
-        hidden, kv = forward(
+        hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill, (block_tables, q_positions),
             kv_write_fn=self._kv_write,
@@ -219,7 +240,7 @@ class GroupRunner:
 
     def _decode_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """One decode step for B rows (reference: step(), :319-331)."""
-        hidden, kv = forward(
+        hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_decode, (block_tables, context_lens),
             kv_write_fn=self._kv_write,
@@ -240,7 +261,7 @@ class GroupRunner:
                 jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0] * bs
                 + pos % bs
             )
-            hidden, kv = forward(
+            hidden, kv = self._forward(
                 self.cfg, params, kv, toks, pos, slots, rope,
                 self._attn_decode, (block_tables, ctx),
                 kv_write_fn=self._kv_write,
@@ -261,7 +282,7 @@ class GroupRunner:
         on-device to per-token granularity."""
         b, g = tokens.shape
         flat = lambda x: x.reshape(b * g)
-        hidden, kv = forward(
+        hidden, kv = self._forward(
             self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
             rope, partial(self._attn_grouped, rows_per_group=g),
             (block_tables, flat(context_lens)),

@@ -124,6 +124,36 @@ def forward(
 
     x = params["embed"][tokens]  # [N, H] vocab-sharded gather
     rope_rows = rope_table[positions]  # [N, D]
+    x, res, kv_cache = run_layers(
+        cfg, params["layers"], kv_cache, x, jnp.zeros_like(x), rope_rows,
+        slots, attn_fn, attn_args, kv_write_fn,
+    )
+    final = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+    hidden = rms_norm(final, params["final_ln"], eps)
+    return hidden, kv_cache
+
+
+def run_layers(
+    cfg: ModelConfig,
+    layers: dict,  # stacked layer params, leading dim L' (any chunk of the stack)
+    kv_cache: jax.Array,  # cache for the SAME L' layers, [L', 2, NB+1, BS, Hkv, D]
+    x: jax.Array,  # [N, H] current hidden
+    res: jax.Array,  # [N, H] residual carried alongside (zeros at the stack top)
+    rope_rows: jax.Array,  # [N, D]
+    slots: jax.Array,
+    attn_fn,
+    attn_args: tuple,
+    kv_write_fn=write_kv,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The decoder-layer scan of ``forward``, factored so pipeline
+    parallelism (parallel/pp.py) can run one stage's layer CHUNK: the
+    (x, res) pair composes across chunks exactly as across layers.
+    Returns (x, res, kv_cache)."""
+    d = cfg.head_dim
+    n_q, n_kv = cfg.num_attention_heads, cfg.num_key_value_heads
+    eps = cfg.rms_norm_eps
+    qk_norm = cfg.qk_norm
+    qkv_bias = cfg.qkv_bias
 
     def layer_step(carry, xs):
         x, res, cache = carry
@@ -161,13 +191,12 @@ def forward(
         mlp_out = mm(act, lp["wdown"])
         return (mlp_out, res3, cache), None
 
-    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    init = (x, jnp.zeros_like(x), kv_cache)
-    (x, res, kv_cache), _ = jax.lax.scan(layer_step, init, (params["layers"], layer_ids))
-
-    final = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
-    hidden = rms_norm(final, params["final_ln"], eps)
-    return hidden, kv_cache
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+    layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
+    (x, res, kv_cache), _ = jax.lax.scan(
+        layer_step, (x, res, kv_cache), (layers, layer_ids)
+    )
+    return x, res, kv_cache
 
 
 def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:

@@ -29,6 +29,7 @@ from nano_pearl_tpu.utils.logging import logger
 
 TP_AXIS = "tp"
 SP_AXIS = "sp"
+PP_AXIS = "pp"
 
 
 @dataclass
@@ -46,6 +47,10 @@ class GroupMesh:
     def sp_size(self) -> int:
         return self.mesh.shape.get(SP_AXIS, 1)
 
+    @property
+    def pp_size(self) -> int:
+        return self.mesh.shape.get(PP_AXIS, 1)
+
     def sharding(self, *spec) -> NamedSharding:
         return NamedSharding(self.mesh, P(*spec))
 
@@ -54,15 +59,18 @@ class GroupMesh:
         return NamedSharding(self.mesh, P())
 
 
-def _group_mesh(name: str, devs: list, sp: int) -> GroupMesh:
-    """1-axis ("tp",) mesh when sp == 1 (keeps compiled-program caches
-    stable for the common case); ("sp", "tp") with sp OUTER otherwise, so
-    each tp group stays on ICI-adjacent devices."""
-    if sp == 1:
+def _group_mesh(name: str, devs: list, sp: int, pp: int = 1) -> GroupMesh:
+    """1-axis ("tp",) mesh when sp == pp == 1 (keeps compiled-program
+    caches stable for the common case); otherwise the extra axis goes
+    OUTER (("sp"|"pp", "tp")) so each tp group stays on ICI-adjacent
+    devices."""
+    assert sp == 1 or pp == 1, "combined sp+pp in one group is not supported yet"
+    if sp == pp == 1:
         return GroupMesh(name, Mesh(np.array(devs), (TP_AXIS,)))
-    tp = len(devs) // sp
+    outer_n, outer_ax = (sp, SP_AXIS) if sp > 1 else (pp, PP_AXIS)
+    tp = len(devs) // outer_n
     return GroupMesh(
-        name, Mesh(np.array(devs).reshape(sp, tp), (SP_AXIS, TP_AXIS))
+        name, Mesh(np.array(devs).reshape(outer_n, tp), (outer_ax, TP_AXIS))
     )
 
 
@@ -73,6 +81,8 @@ def build_group_meshes(
     placement: str = "disjoint",
     draft_sp: int = 1,
     target_sp: int = 1,
+    draft_pp: int = 1,
+    target_pp: int = 1,
 ) -> tuple[GroupMesh, GroupMesh]:
     """Build the draft and target sub-meshes.
 
@@ -95,14 +105,20 @@ def build_group_meshes(
     softmaxes (parallel/sp.py) — max_model_len memory and attention
     compute scale with sp. New capability beyond the reference (SURVEY
     §2.8: sequence/context parallel absent there).
+
+    ``draft_pp``/``target_pp`` add a pipeline-parallel axis instead:
+    layer weights and cache shard over stages (parallel/pp.py).
     """
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
     n = len(devices)
-    d_n, t_n = draft_tp * draft_sp, target_tp * target_sp
+    d_n = draft_tp * draft_sp * draft_pp
+    t_n = target_tp * target_sp * target_pp
     if placement == "union":
-        assert draft_sp == target_sp, "union placement needs equal sp"
+        assert draft_sp == target_sp and draft_pp == target_pp, (
+            "union placement needs equal sp/pp"
+        )
         assert draft_tp == target_tp and d_n == n, (
             f"union placement needs draft_tp == target_tp == num_devices/sp "
             f"({draft_tp}, {target_tp}, {n}/{draft_sp})"
@@ -119,6 +135,6 @@ def build_group_meshes(
         draft_devs = [devices[i % n] for i in range(d_n)]
         target_devs = [devices[(i + d_n) % n] for i in range(t_n)]
 
-    draft = _group_mesh("draft", draft_devs, draft_sp)
-    target = _group_mesh("target", target_devs, target_sp)
+    draft = _group_mesh("draft", draft_devs, draft_sp, draft_pp)
+    target = _group_mesh("target", target_devs, target_sp, target_pp)
     return draft, target

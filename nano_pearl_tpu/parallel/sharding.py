@@ -26,8 +26,10 @@ from nano_pearl_tpu.config import ModelConfig
 from nano_pearl_tpu.parallel.mesh import TP_AXIS, GroupMesh
 
 
-def param_specs(cfg: ModelConfig) -> dict:
-    """PartitionSpec pytree matching ``models.transformer.init_params``."""
+def param_specs(cfg: ModelConfig, pp: bool = False) -> dict:
+    """PartitionSpec pytree matching ``models.transformer.init_params``.
+    With ``pp``, every stacked layer leaf additionally shards its leading
+    (layer) axis over the pipeline axis (parallel/pp.py)."""
     t = TP_AXIS
     layers = {
         "input_ln": P(),
@@ -59,6 +61,15 @@ def param_specs(cfg: ModelConfig) -> dict:
             layers[k] = {"q": spec, "s": row_scale if k in ("wo", "wdown") else col_scale}
         if not cfg.tie_word_embeddings:
             lm_head = {"q": lm_head, "s": P(t, None)}  # scale [V, 1]
+    if pp:
+        from nano_pearl_tpu.parallel.mesh import PP_AXIS
+        import jax
+
+        layers = jax.tree.map(
+            lambda s: P(PP_AXIS, *s[1:]),
+            layers,
+            is_leaf=lambda x: isinstance(x, P),
+        )
     return {
         "embed": P(t, None),
         "layers": layers,
@@ -72,32 +83,48 @@ def param_shardings(cfg: ModelConfig, gmesh: GroupMesh) -> dict:
 
     return jax.tree.map(
         lambda spec: NamedSharding(gmesh.mesh, spec),
-        param_specs(cfg),
+        param_specs(cfg, pp=gmesh.pp_size > 1),
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
-def kv_cache_spec(sp: bool = False) -> P:
+def kv_cache_spec(sp: bool = False, pp: bool = False) -> P:
     """KV cache layout [L, 2, num_blocks, block_size, n_kv_heads, head_dim],
     sharded over kv heads (each TP shard owns its heads' cache —
-    reference: pearl_model_runner.py:125,134 shards kv heads per rank)
-    and, under sequence parallelism, over the block axis (parallel/sp.py)."""
-    from nano_pearl_tpu.parallel.mesh import SP_AXIS
+    reference: pearl_model_runner.py:125,134 shards kv heads per rank);
+    under sequence parallelism additionally over the block axis
+    (parallel/sp.py); under pipeline parallelism over the layer axis
+    (parallel/pp.py)."""
+    from nano_pearl_tpu.parallel.mesh import PP_AXIS, SP_AXIS
 
-    return P(None, None, SP_AXIS if sp else None, None, TP_AXIS, None)
+    return P(
+        PP_AXIS if pp else None,
+        None,
+        SP_AXIS if sp else None,
+        None,
+        TP_AXIS,
+        None,
+    )
 
 
 def kv_cache_sharding(gmesh: GroupMesh, quant: str | None = None):
-    from nano_pearl_tpu.parallel.mesh import SP_AXIS
+    from nano_pearl_tpu.parallel.mesh import PP_AXIS, SP_AXIS
 
     sp = gmesh.sp_size > 1
+    pp = gmesh.pp_size > 1
     if quant in ("int8", "fp8"):
         return {
-            "q": NamedSharding(gmesh.mesh, kv_cache_spec(sp)),
+            "q": NamedSharding(gmesh.mesh, kv_cache_spec(sp, pp)),
             # scales drop the head_dim axis
             "s": NamedSharding(
                 gmesh.mesh,
-                P(None, None, SP_AXIS if sp else None, None, TP_AXIS),
+                P(
+                    PP_AXIS if pp else None,
+                    None,
+                    SP_AXIS if sp else None,
+                    None,
+                    TP_AXIS,
+                ),
             ),
         }
-    return NamedSharding(gmesh.mesh, kv_cache_spec(sp))
+    return NamedSharding(gmesh.mesh, kv_cache_spec(sp, pp))
