@@ -346,9 +346,27 @@ def paged_attention_pallas_grouped(
     )
     g = hq // hkv
 
+    def _mi_eff(bi, mi, cl):
+        # clamp the table slot to the group's last in-context block: grid
+        # steps past the context re-reference the PREVIOUS block index, and
+        # Pallas elides the HBM->VMEM copy when the block index is
+        # unchanged — DMA traffic scales with the ACTUAL context, not the
+        # padded table width (compute for those steps was already skipped
+        # by the in-kernel pl.when; this skips the bandwidth too)
+        ctx_max = cl[bi * r]
+        for i in range(1, r):
+            ctx_max = jnp.maximum(ctx_max, cl[bi * r + i])
+        return jnp.minimum(mi, jnp.maximum(ctx_max - 1, 0) // bs)
+
     q_spec = pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0))
-    blk_k = pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0, 0))
-    blk_v = pl.BlockSpec((1, bs, hkv, d), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0, 0))
+    blk_k = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda bi, mi, btk, btv, cl: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+    )
+    blk_v = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda bi, mi, btk, btv, cl: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+    )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]
         inputs = (q, blocks, blocks)
@@ -356,8 +374,14 @@ def paged_attention_pallas_grouped(
             _grouped_kernel, scale=scale, block_size=bs, num_kv_heads=hkv, rows=r
         )
     else:
-        s_k = pl.BlockSpec((1, bs, hkv), lambda bi, mi, btk, btv, cl: (btk[bi, mi], 0, 0))
-        s_v = pl.BlockSpec((1, bs, hkv), lambda bi, mi, btk, btv, cl: (btv[bi, mi], 0, 0))
+        s_k = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda bi, mi, btk, btv, cl: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
+        )
+        s_v = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda bi, mi, btk, btv, cl: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
+        )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
         inputs = (q, blocks, scales, blocks, scales)
         kernel = functools.partial(
@@ -398,9 +422,20 @@ def paged_attention_pallas(
         cache, layer_idx, block_tables
     )
 
+    def _mi_eff(ni, mi, cl):
+        # see paged_attention_pallas_grouped: clamped slot -> unchanged
+        # block index -> Pallas skips the copy for past-context steps
+        return jnp.minimum(mi, jnp.maximum(cl[ni] - 1, 0) // bs)
+
     q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0))
-    blk_k = pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0, 0))
-    blk_v = pl.BlockSpec((1, bs, hkv, d), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0, 0))
+    blk_k = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda ni, mi, btk, btv, cl: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+    )
+    blk_v = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda ni, mi, btk, btv, cl: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+    )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]
         inputs = (q, blocks, blocks)
@@ -408,8 +443,14 @@ def paged_attention_pallas(
             _kernel, scale=scale, block_size=bs, num_kv_heads=hkv
         )
     else:
-        s_k = pl.BlockSpec((1, bs, hkv), lambda ni, mi, btk, btv, cl: (btk[ni, mi], 0, 0))
-        s_v = pl.BlockSpec((1, bs, hkv), lambda ni, mi, btk, btv, cl: (btv[ni, mi], 0, 0))
+        s_k = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda ni, mi, btk, btv, cl: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
+        )
+        s_v = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda ni, mi, btk, btv, cl: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
+        )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
         inputs = (q, blocks, scales, blocks, scales)
         kernel = functools.partial(

@@ -39,6 +39,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gammas", type=str, default="6,8,10,12")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--target-layers", type=int, default=18)
     p.add_argument("--block-size", type=int, default=64)
     p.add_argument("--steps-hi", type=int, default=25)
     p.add_argument("--steps-lo", type=int, default=5)
@@ -61,7 +62,7 @@ def main():
     class A:
         hidden, ffn, heads, kv_heads = 1024, 4096, 16, 2
         vocab = 32768
-        draft_layers, target_layers = 3, 18
+        draft_layers, target_layers = 3, args.target_layers
         prompt_len = 64
         seed = 0
 
