@@ -42,7 +42,13 @@ def parse_args():
     p.add_argument("--gamma", type=int, default=12)
     p.add_argument("--steps", type=int, default=145, help="fixed PEARL steps to time")
     p.add_argument("--prompt-len", type=int, default=64)
-    p.add_argument("--ar-max-tokens", type=int, default=1024)
+    p.add_argument(
+        "--ar-max-tokens", type=int, default=-1,
+        help="AR baseline tokens per request; -1 matches PEARL's window "
+        "(steps*(gamma+1)) so both sides decode over the same context "
+        "range — the reference gives both sides one max_new_tokens "
+        "budget (benchmark/eval_benchmark.py) for the same reason",
+    )
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--ffn", type=int, default=4096)
     p.add_argument("--heads", type=int, default=16)
@@ -118,8 +124,10 @@ def main():
         args.steps = 6
         args.gamma = min(args.gamma, 4)
         args.prompt_len = 16
-        args.ar_max_tokens = 12
         args.block_size = 64  # short contexts; big blocks only waste here
+
+    if args.ar_max_tokens < 0:
+        args.ar_max_tokens = args.steps * (args.gamma + 1)
 
     if args.cpu:
         import jax
