@@ -69,14 +69,23 @@ class ModelConfig:
     rope_scaling: dict | None = None
     quant: str | None = None  # None | "int8" | "fp8" (weight-only, per-out-channel)
     kv_quant: str | None = None  # None | "int8" | "fp8" (KV cache, per-token-per-head scale)
+    # Mixture-of-Experts (Qwen3-MoE / Mixtral; beyond the reference —
+    # SURVEY §2.8 lists expert parallelism as absent there). num_experts=0
+    # means dense. All decoder layers must be sparse (no mlp_only_layers).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int | None = None  # per-expert FFN width
+    norm_topk_prob: bool = True  # renormalize kept top-k probs (Mixtral: always)
 
     # Filled in by `pad_for_tp`; identical to the originals when no padding
     # was needed. Sharded dims must divide tp.
     tp_size: int = 1
+    ep_size: int = 1
     valid_vocab_size: int = -1
     valid_num_heads: int = -1
     valid_num_kv_heads: int = -1
     valid_intermediate_size: int = -1
+    valid_num_experts: int = -1
     model_path: str | None = None
 
     def __post_init__(self):
@@ -92,6 +101,14 @@ class ModelConfig:
             self.valid_num_kv_heads = self.num_key_value_heads
         if self.valid_intermediate_size < 0:
             self.valid_intermediate_size = self.intermediate_size
+        if self.is_moe and self.moe_intermediate_size is None:
+            self.moe_intermediate_size = self.intermediate_size
+        if self.valid_num_experts < 0:
+            self.valid_num_experts = self.num_experts
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def eos_ids(self) -> list[int]:
@@ -104,7 +121,15 @@ class ModelConfig:
         cfg_file = path if path.endswith(".json") else os.path.join(path, "config.json")
         with open(cfg_file) as f:
             raw = json.load(f)
-        qk_norm = raw.get("architectures", ["?"])[0] == "Qwen3ForCausalLM"
+        arch = raw.get("architectures", ["?"])[0]
+        qk_norm = arch in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM")
+        # MoE (Qwen3-MoE: num_experts; Mixtral: num_local_experts, whose
+        # intermediate_size IS the per-expert width and which always
+        # renormalizes the kept top-k probabilities)
+        num_experts = raw.get("num_experts", raw.get("num_local_experts", 0)) or 0
+        if num_experts:
+            assert not raw.get("mlp_only_layers"), "dense/sparse mixed layers unsupported"
+            assert raw.get("decoder_sparse_step", 1) == 1, "every layer must be sparse"
         return cls(
             architecture=raw.get("architectures", ["LlamaForCausalLM"])[0],
             hidden_size=raw["hidden_size"],
@@ -124,24 +149,33 @@ class ModelConfig:
             eos_token_id=raw.get("eos_token_id", 2),
             dtype=raw.get("torch_dtype", "bfloat16"),
             rope_scaling=raw.get("rope_scaling"),
+            num_experts=num_experts,
+            num_experts_per_tok=raw.get("num_experts_per_tok", 2),
+            moe_intermediate_size=raw.get("moe_intermediate_size"),
+            norm_topk_prob=raw.get("norm_topk_prob", True),
             model_path=os.path.dirname(cfg_file) or ".",
         )
 
-    def pad_for_tp(self, tp: int) -> "ModelConfig":
-        """Pad head/ffn/vocab dims so every sharded dim divides ``tp``.
+    def pad_for_tp(self, tp: int, ep: int = 1) -> "ModelConfig":
+        """Pad head/ffn/vocab dims so every sharded dim divides ``tp``
+        (and, for MoE, the expert count divides ``ep``).
 
         Reference: pearl_config.py:37-67 (non-2-power TP padding). We pad
         for any tp (no-op when divisible) and align intermediate/vocab to
-        the 128-lane TPU tile per shard.
+        the 128-lane TPU tile per shard. Padded experts carry zero
+        weights and are masked out of routing (ops/moe.py ``route``).
         """
         gqa_ratio = self.num_attention_heads // self.num_key_value_heads
         padded_kv = round_up(self.num_key_value_heads, tp)
         padded_heads = padded_kv * gqa_ratio
         padded_intermediate = round_up(self.intermediate_size, tp * LANE)
         padded_vocab = round_up(self.vocab_size, tp * LANE)
+        assert ep == 1 or self.is_moe, "ep > 1 requires an MoE model"
+        moe_f = self.moe_intermediate_size
         return replace(
             self,
             tp_size=tp,
+            ep_size=ep,
             num_key_value_heads=padded_kv,
             num_attention_heads=padded_heads,
             intermediate_size=padded_intermediate,
@@ -150,6 +184,9 @@ class ModelConfig:
             valid_num_heads=self.num_attention_heads,
             valid_intermediate_size=self.intermediate_size,
             valid_vocab_size=self.vocab_size,
+            num_experts=round_up(self.num_experts, ep) if self.is_moe else 0,
+            valid_num_experts=self.num_experts,
+            moe_intermediate_size=round_up(moe_f, tp * LANE) if self.is_moe else moe_f,
         )
 
 
@@ -179,6 +216,13 @@ class PearlConfig:
     # (SURVEY §2.8).
     draft_pp: int = 1
     target_pp: int = 1
+    # Expert parallelism per group (MoE models only): the stacked expert
+    # weights shard over an extra `ep` mesh axis and the gate-weighted
+    # expert combine reduces across it (ops/moe.py, parallel/sharding.py).
+    # A group then spans tp*ep devices. Beyond the reference (SURVEY §2.8:
+    # expert parallelism absent there).
+    draft_ep: int = 1
+    target_ep: int = 1
     max_num_batched_tokens: int = 16384
     max_num_seqs: int = 256
     max_model_len: int = 4096
@@ -230,8 +274,12 @@ class PearlConfig:
         def resolve(m) -> ModelConfig:
             return ModelConfig.from_json(m) if isinstance(m, str) else m
 
-        self.draft_config = resolve(self.draft_model).pad_for_tp(self.draft_tp)
-        self.target_config = resolve(self.target_model).pad_for_tp(self.target_tp)
+        self.draft_config = resolve(self.draft_model).pad_for_tp(
+            self.draft_tp, self.draft_ep
+        )
+        self.target_config = resolve(self.target_model).pad_for_tp(
+            self.target_tp, self.target_ep
+        )
         if self.draft_quant:
             self.draft_config = replace(self.draft_config, quant=self.draft_quant)
         if self.target_quant:

@@ -42,6 +42,7 @@ class PearlEngine:
             config.draft_tp, config.target_tp, config.devices, config.placement,
             draft_sp=config.draft_sp, target_sp=config.target_sp,
             draft_pp=config.draft_pp, target_pp=config.target_pp,
+            draft_ep=config.draft_ep, target_ep=config.target_ep,
         )
         self.draft = GroupRunner(
             config, config.draft_config, draft_mesh, params=draft_params, seed=config.seed

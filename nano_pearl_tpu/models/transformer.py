@@ -69,10 +69,22 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
         "wv": rnd(l, h, hkv),
         "wo": rnd(l, hq, h),
         "post_ln": jnp.ones((l, h), dt),
-        "wgate": rnd(l, h, f),
-        "wup": rnd(l, h, f),
-        "wdown": rnd(l, f, h),
     }
+    if cfg.is_moe:
+        # experts stacked on a leading E axis (ops/moe.py); router per layer
+        e, fm = cfg.num_experts, cfg.moe_intermediate_size
+        layers.update({
+            "router": rnd(l, h, e),
+            "wgate": rnd(l, e, h, fm),
+            "wup": rnd(l, e, h, fm),
+            "wdown": rnd(l, e, fm, h),
+        })
+    else:
+        layers.update({
+            "wgate": rnd(l, h, f),
+            "wup": rnd(l, h, f),
+            "wdown": rnd(l, f, h),
+        })
     if cfg.qkv_bias:
         layers.update({"bq": rnd(l, hq), "bk": rnd(l, hkv), "bv": rnd(l, hkv)})
     if cfg.qk_norm:
@@ -185,10 +197,19 @@ def run_layers(
 
         res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)
         h2 = rms_norm(res3, lp["post_ln"], eps)
-        act = jax.nn.silu(mm(h2, lp["wgate"]).astype(jnp.float32)).astype(x.dtype) * mm(
-            h2, lp["wup"]
-        )
-        mlp_out = mm(act, lp["wdown"])
+        if cfg.is_moe:
+            from nano_pearl_tpu.ops.moe import moe_mlp
+
+            mlp_out = moe_mlp(
+                h2, lp["router"], lp["wgate"], lp["wup"], lp["wdown"],
+                cfg.num_experts_per_tok, cfg.norm_topk_prob,
+                cfg.valid_num_experts,
+            )
+        else:
+            act = jax.nn.silu(
+                mm(h2, lp["wgate"]).astype(jnp.float32)
+            ).astype(x.dtype) * mm(h2, lp["wup"])
+            mlp_out = mm(act, lp["wdown"])
         return (mlp_out, res3, cache), None
 
     n_layers = jax.tree.leaves(layers)[0].shape[0]

@@ -30,6 +30,7 @@ from nano_pearl_tpu.utils.logging import logger
 TP_AXIS = "tp"
 SP_AXIS = "sp"
 PP_AXIS = "pp"
+EP_AXIS = "ep"
 
 
 @dataclass
@@ -51,6 +52,10 @@ class GroupMesh:
     def pp_size(self) -> int:
         return self.mesh.shape.get(PP_AXIS, 1)
 
+    @property
+    def ep_size(self) -> int:
+        return self.mesh.shape.get(EP_AXIS, 1)
+
     def sharding(self, *spec) -> NamedSharding:
         return NamedSharding(self.mesh, P(*spec))
 
@@ -59,15 +64,19 @@ class GroupMesh:
         return NamedSharding(self.mesh, P())
 
 
-def _group_mesh(name: str, devs: list, sp: int, pp: int = 1) -> GroupMesh:
-    """1-axis ("tp",) mesh when sp == pp == 1 (keeps compiled-program
-    caches stable for the common case); otherwise the extra axis goes
-    OUTER (("sp"|"pp", "tp")) so each tp group stays on ICI-adjacent
-    devices."""
-    assert sp == 1 or pp == 1, "combined sp+pp in one group is not supported yet"
-    if sp == pp == 1:
+def _group_mesh(name: str, devs: list, sp: int, pp: int = 1, ep: int = 1) -> GroupMesh:
+    """1-axis ("tp",) mesh when sp == pp == ep == 1 (keeps compiled-
+    program caches stable for the common case); otherwise the extra axis
+    goes OUTER (("sp"|"pp"|"ep", "tp")) so each tp group stays on
+    ICI-adjacent devices."""
+    assert sum(x > 1 for x in (sp, pp, ep)) <= 1, (
+        "at most one of sp/pp/ep per group is supported"
+    )
+    if sp == pp == ep == 1:
         return GroupMesh(name, Mesh(np.array(devs), (TP_AXIS,)))
-    outer_n, outer_ax = (sp, SP_AXIS) if sp > 1 else (pp, PP_AXIS)
+    outer_n, outer_ax = max(
+        ((sp, SP_AXIS), (pp, PP_AXIS), (ep, EP_AXIS)), key=lambda t: t[0]
+    )
     tp = len(devs) // outer_n
     return GroupMesh(
         name, Mesh(np.array(devs).reshape(outer_n, tp), (outer_ax, TP_AXIS))
@@ -83,6 +92,8 @@ def build_group_meshes(
     target_sp: int = 1,
     draft_pp: int = 1,
     target_pp: int = 1,
+    draft_ep: int = 1,
+    target_ep: int = 1,
 ) -> tuple[GroupMesh, GroupMesh]:
     """Build the draft and target sub-meshes.
 
@@ -113,12 +124,12 @@ def build_group_meshes(
         devices = jax.devices()
     devices = list(devices)
     n = len(devices)
-    d_n = draft_tp * draft_sp * draft_pp
-    t_n = target_tp * target_sp * target_pp
+    d_n = draft_tp * draft_sp * draft_pp * draft_ep
+    t_n = target_tp * target_sp * target_pp * target_ep
     if placement == "union":
-        assert draft_sp == target_sp and draft_pp == target_pp, (
-            "union placement needs equal sp/pp"
-        )
+        assert (
+            draft_sp == target_sp and draft_pp == target_pp and draft_ep == target_ep
+        ), "union placement needs equal sp/pp/ep"
         assert draft_tp == target_tp and d_n == n, (
             f"union placement needs draft_tp == target_tp == num_devices/sp "
             f"({draft_tp}, {target_tp}, {n}/{draft_sp})"
@@ -135,6 +146,6 @@ def build_group_meshes(
         draft_devs = [devices[i % n] for i in range(d_n)]
         target_devs = [devices[(i + d_n) % n] for i in range(t_n)]
 
-    draft = _group_mesh("draft", draft_devs, draft_sp, draft_pp)
-    target = _group_mesh("target", target_devs, target_sp, target_pp)
+    draft = _group_mesh("draft", draft_devs, draft_sp, draft_pp, draft_ep)
+    target = _group_mesh("target", target_devs, target_sp, target_pp, target_ep)
     return draft, target

@@ -38,10 +38,27 @@ def param_specs(cfg: ModelConfig, pp: bool = False) -> dict:
         "wv": P(None, None, t),
         "wo": P(None, t, None),
         "post_ln": P(),
-        "wgate": P(None, None, t),
-        "wup": P(None, None, t),
-        "wdown": P(None, t, None),
     }
+    if cfg.is_moe:
+        # experts shard over `ep` on their stacked E axis, per-expert FFN
+        # over `tp` — the gate-weighted combine's E contraction becomes
+        # one GSPMD psum over ep (ops/moe.py). The ep axis only exists in
+        # the mesh when the group was built with ep > 1.
+        from nano_pearl_tpu.parallel.mesh import EP_AXIS
+
+        e = EP_AXIS if cfg.ep_size > 1 else None
+        layers.update({
+            "router": P(),
+            "wgate": P(None, e, None, t),
+            "wup": P(None, e, None, t),
+            "wdown": P(None, e, t, None),
+        })
+    else:
+        layers.update({
+            "wgate": P(None, None, t),
+            "wup": P(None, None, t),
+            "wdown": P(None, t, None),
+        })
     if cfg.qkv_bias:
         layers.update({"bq": P(None, t), "bk": P(None, t), "bv": P(None, t)})
     if cfg.qk_norm:
@@ -58,7 +75,13 @@ def param_specs(cfg: ModelConfig, pp: bool = False) -> dict:
         row_scale = P()  # [L, 1, H] replicated
         for k in QUANTIZED_LAYER_KEYS:
             spec = layers[k]
-            layers[k] = {"q": spec, "s": row_scale if k in ("wo", "wdown") else col_scale}
+            if cfg.is_moe and k in ("wgate", "wup", "wdown"):
+                # expert scales keep the E axis: [L, E, 1, out]
+                ep_ax = spec[1]
+                s = P(None, ep_ax, None, t if k != "wdown" else None)
+            else:
+                s = row_scale if k in ("wo", "wdown") else col_scale
+            layers[k] = {"q": spec, "s": s}
         if not cfg.tie_word_embeddings:
             lm_head = {"q": lm_head, "s": P(t, None)}  # scale [V, 1]
     if pp:

@@ -55,10 +55,21 @@ def _expected_shapes(cfg: ModelConfig) -> dict:
         "wv": (l, h, hkv),
         "wo": (l, hq, h),
         "post_ln": (l, h),
-        "wgate": (l, h, f),
-        "wup": (l, h, f),
-        "wdown": (l, f, h),
     }
+    if cfg.is_moe:
+        e, fm = cfg.num_experts, cfg.moe_intermediate_size
+        layers.update({
+            "router": (l, h, e),
+            "wgate": (l, e, h, fm),
+            "wup": (l, e, h, fm),
+            "wdown": (l, e, fm, h),
+        })
+    else:
+        layers.update({
+            "wgate": (l, h, f),
+            "wup": (l, h, f),
+            "wdown": (l, f, h),
+        })
     if cfg.qkv_bias:
         layers.update({"bq": (l, hq), "bk": (l, hkv), "bv": (l, hkv)})
     if cfg.qk_norm:
@@ -82,6 +93,20 @@ _LAYER_MAP = {
     "mlp.gate_proj.weight": ("wgate", True),
     "mlp.up_proj.weight": ("wup", True),
     "mlp.down_proj.weight": ("wdown", True),
+    # MoE routers (Qwen3-MoE / Mixtral): HF stores [E, H] -> ours [H, E]
+    "mlp.gate.weight": ("router", True),
+    "block_sparse_moe.gate.weight": ("router", True),
+}
+# MoE expert tensors: mlp.experts.{j}.gate_proj (Qwen3-MoE) /
+# block_sparse_moe.experts.{j}.w1|w3|w2 (Mixtral w1=gate, w3=up, w2=down)
+_EXPERT_RE = re.compile(
+    r"^(?:mlp|block_sparse_moe)\.experts\.(\d+)\."
+    r"(gate_proj|up_proj|down_proj|w1|w2|w3)\.weight$"
+)
+_EXPERT_KEY = {
+    "gate_proj": "wgate", "w1": "wgate",
+    "up_proj": "wup", "w3": "wup",
+    "down_proj": "wdown", "w2": "wdown",
 }
 _TOP_MAP = {
     "model.embed_tokens.weight": "embed",
@@ -186,11 +211,18 @@ def load_params(
     # ---- layer-stacked tensors ----
     num_layers = cfg.num_hidden_layers
     per_layer: dict[str, dict[int, str]] = {}
+    # expert-stacked tensors: key -> layer -> expert -> hf name
+    per_expert: dict[str, dict[int, dict[int, str]]] = {}
     for name in index:
         m = _LAYER_RE.match(name)
         if not m:
             continue
         li, rest = int(m.group(1)), m.group(2)
+        em = _EXPERT_RE.match(rest)
+        if em:
+            key = _EXPERT_KEY[em.group(2)]
+            per_expert.setdefault(key, {}).setdefault(li, {})[int(em.group(1))] = name
+            continue
         if rest not in _LAYER_MAP:
             logger.warning(f"ignoring unknown layer tensor {name}")
             continue
@@ -198,20 +230,45 @@ def load_params(
         per_layer.setdefault(key, {})[li] = name
 
     for key, shape in shapes["layers"].items():
-        if key not in per_layer:
+        expert_key = cfg.is_moe and key in ("wgate", "wup", "wdown")
+        if key not in (per_expert if expert_key else per_layer):
             raise KeyError(f"checkpoint missing layer tensors for {key!r}")
-        names = per_layer[key]
-        assert len(names) == num_layers, f"{key}: {len(names)} tensors != {num_layers} layers"
-        _, transpose = next(v for k, v in _LAYER_MAP.items() if v[0] == key)
         slice_shape = shape[1:]
         nbytes = int(np.prod(shape)) * dtype.itemsize
         stream = nbytes > _STREAM_THRESHOLD and sh("layers", key) is not None
 
-        def load_slice(i):
-            raw = _to_numpy(index[names[i]].get_tensor(names[i]))
-            if transpose:
-                raw = np.ascontiguousarray(raw.T)
-            return _pad_to(raw, slice_shape)
+        if expert_key:
+            enames = per_expert[key]
+            assert len(enames) == num_layers, (
+                f"{key}: {len(enames)} layers != {num_layers}"
+            )
+
+            def load_slice(i, enames=enames):
+                # stack the layer's experts on the leading E axis; all HF
+                # expert weights are [out, in] -> transpose each
+                per_e = enames[i]
+                assert len(per_e) == cfg.valid_num_experts, (
+                    f"{key} layer {i}: {len(per_e)} experts != {cfg.valid_num_experts}"
+                )
+                rows = [
+                    np.ascontiguousarray(
+                        _to_numpy(index[per_e[j]].get_tensor(per_e[j])).T
+                    )
+                    for j in range(len(per_e))
+                ]
+                return _pad_to(np.stack(rows), slice_shape)
+        else:
+            names = per_layer[key]
+            assert len(names) == num_layers, (
+                f"{key}: {len(names)} tensors != {num_layers} layers"
+            )
+            _, transpose = next(v for k, v in _LAYER_MAP.items() if v[0] == key)
+
+            def load_slice(i, names=names, transpose=transpose):
+                raw = _to_numpy(index[names[i]].get_tensor(names[i]))
+                if transpose:
+                    raw = np.ascontiguousarray(raw.T)
+                return _pad_to(raw, slice_shape)
 
         quant_key = quant and key in QUANTIZED_LAYER_KEYS
         if stream and not quant_key:
@@ -223,7 +280,7 @@ def load_params(
         elif stream and quant_key:
             shd = sh("layers", key)
             buf_q = jnp.zeros(shape, dtype=qdtype, device=shd["q"] if shd else None)
-            s_shape = (num_layers, 1, shape[-1])
+            s_shape = (num_layers, *slice_shape[:-2], 1, slice_shape[-1])
             buf_s = jnp.zeros(s_shape, dtype=jnp.float32, device=shd["s"] if shd else None)
 
             for i in range(num_layers):
