@@ -230,8 +230,10 @@ def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Arr
 
 
 def make_rope_table(cfg: ModelConfig) -> jax.Array:
-    assert cfg.rope_scaling in (None, {}), (
-        "rope_scaling not yet supported (reference also asserts None: "
-        "rotary_embedding.py:59)"
+    """Supports llama3/linear rope_scaling (Llama 3.1+ targets). The
+    reference asserts rope_scaling is None for non-llama models
+    (rotary_embedding.py:59) and silently ignores it for llama
+    (:64-72) — here it is applied properly (ops/rope.py)."""
+    return build_rope_table(
+        cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta, cfg.rope_scaling
     )
-    return build_rope_table(cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta)

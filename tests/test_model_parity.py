@@ -89,6 +89,41 @@ def test_logits_match_hf(tmp_path, arch, path_kind):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("kind", ["llama3", "linear"])
+def test_rope_scaling_matches_hf(tmp_path, kind):
+    """llama3/linear rope_scaling parity vs HF (needed for Llama 3.1+
+    targets, e.g. the reference headline's Llama-3.1-70B). The reference
+    silently ignores rope_scaling for llama (rotary_embedding.py:64-72);
+    we apply it properly (ops/rope.py)."""
+    torch.manual_seed(0)
+    if kind == "llama3":
+        scaling = dict(
+            rope_type="llama3", factor=8.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position_embeddings=64,
+        )
+    else:
+        scaling = dict(rope_type="linear", factor=4.0)
+    cfg = transformers.LlamaConfig(
+        hidden_size=64, intermediate_size=112, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=211,
+        max_position_embeddings=256, torch_dtype="float32",
+        rope_scaling=scaling,
+    )
+    hf_model = transformers.AutoModelForCausalLM.from_config(cfg).eval().float()
+    path = str(tmp_path / kind)
+    hf_model.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_json(path)
+    assert mcfg.rope_scaling
+    params = load_params(mcfg, path, shardings=None, dtype=jnp.float32)
+    # positions past original_max_position_embeddings exercise the scaled
+    # low-frequency band
+    ids = list(range(1, 101))
+    with torch.no_grad():
+        want = hf_model(torch.tensor([ids])).logits[0].numpy()
+    got = our_logits(mcfg, params, ids)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_tp_padding_preserves_logits(tmp_path):
     """Non-power-of-2 TP padding (tp=3) must not change the math
     (reference capability: pearl_config.py:37-67)."""
