@@ -22,11 +22,22 @@ set. What that means for this engine:
   outputs; ``replicate_to_hosts`` guards fetching them when an output
   ends up device-sharded.
 
+The VERIFIED multi-host mode is union placement + fused execution
+(tests/test_multihost.py runs the engine across two real Python
+processes joined by jax.distributed): both models TP-shard over the
+global mesh, the whole PEARL loop is one SPMD program (cross-host
+collectives ride DCN/Gloo), every host-visible output is fully
+replicated so each controller fetches locally, and the deterministic
+host loops stay coherent with zero control-plane communication.
+Disjoint placement across hosts (draft devices on one host only) would
+need per-process conditional dispatch and is not supported — use union.
+
 Testing: the CPU suite emulates an 8-device host
-(``--xla_force_host_platform_device_count``); true multi-process
-multi-host runs need a pod slice. dryrun_multichip in __graft_entry__
-validates that every compiled program SPMD-partitions over an 8-way
-mesh.
+(``--xla_force_host_platform_device_count``) and
+tests/test_multihost.py exercises TRUE two-process multi-controller
+execution (4+4 virtual devices, Gloo collectives). dryrun_multichip in
+__graft_entry__ additionally validates every compiled program
+SPMD-partitions over an 8-way mesh.
 """
 
 from __future__ import annotations
