@@ -68,6 +68,15 @@ def parse_args():
         "bandwidth-bound instead of latency-bound",
     )
     p.add_argument(
+        "--moe", action="store_true",
+        help="use sparse-MoE models for the layer-share pair (Qwen3-MoE-"
+        "style routing; exercises the batched-einsum expert path)",
+    )
+    p.add_argument("--experts", type=int, default=8)
+    p.add_argument("--topk", type=int, default=2)
+    p.add_argument("--moe-ffn", type=int, default=None,
+                   help="per-expert FFN width (default: ffn // 4)")
+    p.add_argument(
         "--kv-quant", type=str, default=None, choices=["int8", "fp8"],
         help="KV-cache quantization for BOTH model groups",
     )
@@ -144,9 +153,19 @@ def main():
     from nano_pearl_tpu import PearlEngine
     from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
 
+    moe_fields = {}
+    if args.moe:
+        moe_fields = dict(
+            architecture="Qwen3MoeForCausalLM",
+            qk_norm=False,  # routing is the MoE-specific path under test
+            num_experts=args.experts,
+            num_experts_per_tok=args.topk,
+            moe_intermediate_size=args.moe_ffn or args.ffn // 4,
+        )
+
     def mc(layers):
         return ModelConfig(
-            architecture="LlamaForCausalLM",
+            architecture=moe_fields.get("architecture", "LlamaForCausalLM"),
             hidden_size=args.hidden,
             intermediate_size=args.ffn,
             num_hidden_layers=layers,
@@ -156,6 +175,7 @@ def main():
             eos_token_id=1,
             dtype="bfloat16" if not args.cpu else "float32",
             max_position_embeddings=2048,
+            **{k: v for k, v in moe_fields.items() if k != "architecture"},
         )
 
     if args.draft_model and args.target_model:
@@ -166,6 +186,8 @@ def main():
         draft_model, target_model = mc(args.draft_layers), mc(args.target_layers)
         dparams, tparams = build_layer_share_pair(draft_model, target_model, args.seed)
         scenario = f"layer-share {args.draft_layers}L/{args.target_layers}L"
+        if args.moe:
+            scenario += f" moe{args.experts}x{args.topk}"
 
     max_len = max(256, 1 << (args.prompt_len + args.steps * (args.gamma + 1) + 64).bit_length())
     cfg = PearlConfig(

@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -35,6 +39,7 @@ def parse_args():
     p.add_argument("--token-ids", action="store_true", help="turns are id lists")
     p.add_argument("--max-model-len", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
 
 
@@ -53,6 +58,10 @@ def load_dataset(path: str, limit: int):
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
 
     config = PearlConfig(
@@ -87,7 +96,9 @@ def main():
         if args.run_ar_benchmark:
             for prm in batch:
                 engine.add_request(prm, sp())
-            _, ar_tok, _, ar_t = engine.AR_generate()
+            # token-id datasets have no tokenizer to decode with
+            ar_fn = engine.AR_generate_token_ids if args.token_ids else engine.AR_generate
+            _, ar_tok, _, ar_t = ar_fn()
             ar_tps = sum(ar_tok) / ar_t
             row["ar_tok_s"] = round(ar_tps, 2)
             row["speedup"] = round(pearl_tps / ar_tps, 2)

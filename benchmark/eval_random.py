@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -21,12 +25,18 @@ def parse_args():
     p.add_argument("--gamma", type=int, default=-1)
     p.add_argument("--run-ar-benchmark", "-ar", action="store_true")
     p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--max-tokens", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
 
     config = PearlConfig(
@@ -46,7 +56,10 @@ def main():
         for _ in range(args.batch_size):
             ids = rng.integers(2, vocab - 1, args.input_len).tolist()
             engine.add_request(
-                ids, SamplingParams(temperature=0.0, max_tokens=256, ignore_eos=True)
+                ids,
+                SamplingParams(
+                    temperature=0.0, max_tokens=args.max_tokens, ignore_eos=True
+                ),
             )
 
     add_batch()
