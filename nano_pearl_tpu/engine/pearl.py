@@ -86,6 +86,16 @@ class PearlOrchestrator:
         m = max(len(v.block_table) for v in views)
         return min(next_pow2(max(m, 8)), self.pcfg.max_blocks_per_seq)
 
+    def _m_pad_tight(self, views) -> int:
+        """Prefill block-table width: NO floor of 8. The jnp prefill
+        attention materializes score tiles over m*block_size keys, so the
+        floor cost 16x wasted HBM traffic on short prompts (the decode/
+        verify kernels clamp past-context DMAs instead — see
+        ops/pallas/paged_attention.py — and keep the floor for compiled-
+        program-cache stability)."""
+        m = max(len(v.block_table) for v in views)
+        return min(next_pow2(m), self.pcfg.max_blocks_per_seq)
+
     # ------------------------------------------------------------- prefill
 
     def prefill_all(self, target_only: bool = False):
@@ -105,18 +115,24 @@ class PearlOrchestrator:
             temps[:b] = [s.temperature for s in seqs]
 
             logits_d = logits_t = None
+            # no prefix-cache hits -> the fresh-KV self-attention prefill
+            # (no cache read; see runner._prefill_self_impl)
+            fresh_d = all(s.draft.num_cached_tokens == 0 for s in seqs)
+            fresh_t = all(s.target.num_cached_tokens == 0 for s in seqs)
             if not target_only:
                 logits_d = self.draft.prefill(
                     [s.draft for s in seqs],
                     self.pcfg.bucket_tokens(lq_d),
                     b_pad,
-                    self._m_pad([s.draft for s in seqs]),
+                    self._m_pad_tight([s.draft for s in seqs]),
+                    fresh_only=fresh_d,
                 )
             logits_t = self.target.prefill(
                 [s.target for s in seqs],
                 self.pcfg.bucket_tokens(lq_t),
                 b_pad,
-                self._m_pad([s.target for s in seqs]),
+                self._m_pad_tight([s.target for s in seqs]),
+                fresh_only=fresh_t,
             )
             toks_t = np.asarray(
                 self.target.sample_tokens(logits_t, temps, self._next_seed())

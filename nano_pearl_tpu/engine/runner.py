@@ -33,6 +33,7 @@ from nano_pearl_tpu.models.transformer import (
     make_rope_table,
 )
 from nano_pearl_tpu.ops.attention import (
+    prefill_self_attention_jnp,
     paged_attention,
     paged_attention_grouped,
     prefill_attention_jnp,
@@ -157,6 +158,11 @@ class GroupRunner:
                 paged_attention_grouped, scale=self.scale, use_pallas=self.use_pallas
             )
             self._kv_write = write_kv
+        # fresh-KV prefill self-attention (no cache READ — valid whenever
+        # no admitted sequence has prefix-cache hits; cache-free, so it
+        # composes with sp/pp/union unchanged)
+        self._attn_prefill_self = partial(prefill_self_attention_jnp, scale=self.scale)
+        self._attn_prefill_self.wants_fresh_kv = True
 
         self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
         if self.sp_size > 1:
@@ -188,6 +194,7 @@ class GroupRunner:
         # params and rope are explicit jit arguments: closure-captured
         # jax Arrays would be inlined into the HLO as constants
         self._jit_prefill = jax.jit(self._prefill_impl, donate_argnums=2)
+        self._jit_prefill_self = jax.jit(self._prefill_self_impl, donate_argnums=2)
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=2)
         self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=2, static_argnames="gamma")
         self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=2)
@@ -234,6 +241,20 @@ class GroupRunner:
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill, (block_tables, q_positions),
+            kv_write_fn=self._kv_write,
+        )
+        return kv, compute_logits(self.cfg, params, hidden[sel_rows])
+
+    def _prefill_self_impl(self, params, rope, kv, tokens, positions, slots, block_tables, q_positions, sel_rows):
+        """Prefill variant for batches with NO prefix-cache hits: attention
+        runs over the fresh K/V (ops/attention.prefill_self_attention_jnp)
+        instead of gathering them back out of the just-written cache —
+        which XLA lowers to a whole-cache copy per layer (measured 271 ms
+        of a 330 ms 36L prefill on v5e). K/V are still scattered into the
+        cache for the decode rounds that follow."""
+        hidden, kv = self._forward(
+            self.cfg, params, kv, tokens, positions, slots, rope,
+            self._attn_prefill_self, (block_tables, q_positions),
             kv_write_fn=self._kv_write,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
@@ -307,8 +328,17 @@ class GroupRunner:
 
     # ------------------------------------------------------------- host API
 
-    def prefill(self, views: list[SeqView], lq_pad: int, b_pad: int, m_pad: int):
-        """Returns logits [b_pad, V] (device, async)."""
+    def prefill(
+        self,
+        views: list[SeqView],
+        lq_pad: int,
+        b_pad: int,
+        m_pad: int,
+        fresh_only: bool = False,
+    ):
+        """Returns logits [b_pad, V] (device, async). ``fresh_only`` marks
+        a batch with no prefix-cache hits, which takes the fresh-KV
+        self-attention program (see _prefill_self_impl)."""
         bs = self.block_size
         b = len(views)
         tokens = np.zeros((b_pad, lq_pad), np.int32)
@@ -328,7 +358,8 @@ class GroupRunner:
             slots[i, :n] = [v.token_to_slot(t) for t in range(start, start + n)]
             block_tables[i, : len(v.block_table)] = v.block_table
             sel_rows[i] = i * lq_pad + n - 1
-        self.kv, logits = self._jit_prefill(
+        fn = self._jit_prefill_self if fresh_only else self._jit_prefill
+        self.kv, logits = fn(
             self.params, self.rope_table, self.kv, tokens.reshape(-1),
             positions.reshape(-1), slots.reshape(-1), block_tables, q_positions, sel_rows,
         )

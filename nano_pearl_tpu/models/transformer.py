@@ -192,7 +192,14 @@ def run_layers(
         # per-layer dynamic-slice + write-back (which XLA can lower to a
         # whole-cache copy per layer inside the scan)
         cache = kv_write_fn(cache, k, v, slots, li)
-        o = attn_fn(q, cache, li, *attn_args)
+        if getattr(attn_fn, "wants_fresh_kv", False):
+            # prefill self-attention flavors consume the fresh K/V
+            # directly: gathering them back out of the just-scattered
+            # cache forces XLA to copy the whole cache carry per layer
+            # (ops/attention.prefill_self_attention_jnp)
+            o = attn_fn(q, k, v, li, *attn_args)
+        else:
+            o = attn_fn(q, cache, li, *attn_args)
         attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])
 
         res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)

@@ -41,7 +41,11 @@ def _gather_kv(cache, layer_idx, block_tables):
     """Gather K and V rows for the given block-table rows from the FULL
     cache via layer-folded block indices (see kv_cache.global_block_offsets),
     dequantizing int8 caches after the gather (half the HBM read volume).
-    Returns (k, v) shaped [..., M*BS, Hkv, D] float32."""
+    Returns (k, v) shaped [..., M*BS, Hkv, D] in the cache dtype (f32 for
+    quantized caches). Downstream einsums accumulate in f32
+    (preferred_element_type) — bf16 inputs are exact in f32, so keeping
+    the gathered copy in bf16 halves its HBM traffic without changing a
+    single bit of the result."""
     bs, hkv, d = cache_kv_dims(cache)
     lead = block_tables.shape[:-1]
     m = block_tables.shape[-1]
@@ -56,8 +60,8 @@ def _gather_kv(cache, layer_idx, block_tables):
         vs = sb[block_tables + v_off].reshape(*lead, s_len, hkv)
         return dequant_rows(kq, ks), dequant_rows(vq, vs)
     blocks = cache.reshape(-1, bs, hkv, d)
-    k = blocks[block_tables + k_off].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
-    v = blocks[block_tables + v_off].reshape(*lead, s_len, hkv, d).astype(jnp.float32)
+    k = blocks[block_tables + k_off].reshape(*lead, s_len, hkv, d)
+    v = blocks[block_tables + v_off].reshape(*lead, s_len, hkv, d)
     return k, v
 
 
@@ -77,8 +81,11 @@ def paged_attention_jnp(
 
     k, v = _gather_kv(cache, layer_idx, block_tables)
 
-    qg = q.reshape(n, hkv, g, d).astype(jnp.float32)
-    scores = jnp.einsum("nkgd,nskd->nkgs", qg, k) * scale
+    qg = q.reshape(n, hkv, g, d)
+    scores = (
+        jnp.einsum("nkgd,nskd->nkgs", qg, k, preferred_element_type=jnp.float32)
+        * scale
+    )
 
     valid = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1) < context_lens[:, None]
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
@@ -88,7 +95,7 @@ def paged_attention_jnp(
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.maximum(denom, 1e-30)
 
-    out = jnp.einsum("nkgs,nskd->nkgd", p, v)
+    out = jnp.einsum("nkgs,nskd->nkgd", p, v, preferred_element_type=jnp.float32)
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
@@ -117,12 +124,15 @@ def prefill_attention_jnp(
     g = hq // hkv
 
     k, v = _gather_kv(cache, layer_idx, block_tables)
-    qb = q.reshape(b, lq, hkv, g, d).astype(jnp.float32)
+    qb = q.reshape(b, lq, hkv, g, d)
 
     def chunk_attn(args):
         qc, qpos_c = args  # [B, C, Hkv, G, D], [B, C]
         c = qc.shape[1]
-        scores = jnp.einsum("blkgd,bskd->bklgs", qc, k) * scale
+        scores = (
+            jnp.einsum("blkgd,bskd->bklgs", qc, k, preferred_element_type=jnp.float32)
+            * scale
+        )
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, c, s), 2)
         visible = kv_pos <= qpos_c[:, :, None]  # [B, C, S]
         scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
@@ -130,7 +140,7 @@ def prefill_attention_jnp(
         p = jnp.exp(scores - mx)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         p = p / jnp.maximum(denom, 1e-30)
-        return jnp.einsum("bklgs,bskd->blkgd", p, v)
+        return jnp.einsum("bklgs,bskd->blkgd", p, v, preferred_element_type=jnp.float32)
 
     # bound the materialized [B, H, C, S] score tile: long prompts would
     # otherwise allocate O(Lq*S) at once (reference relies on flash-attn
@@ -143,6 +153,62 @@ def prefill_attention_jnp(
         qs = qb.reshape(b, nc, chunk, hkv, g, d).transpose(1, 0, 2, 3, 4, 5)
         ps = q_positions.reshape(b, nc, chunk).transpose(1, 0, 2)
         out = jax.lax.map(chunk_attn, (qs, ps))  # [nc, B, C, Hkv, G, D]
+        out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, lq, hkv, g, d)
+    return out.reshape(n, hq, d).astype(q.dtype)
+
+
+def prefill_self_attention_jnp(
+    q: jax.Array,  # [N = B*Lq, Hq, D] flat new-token queries, seq-major
+    k: jax.Array,  # [N, Hkv, D] the batch's FRESH post-rope keys
+    v: jax.Array,  # [N, Hkv, D]
+    layer_idx,  # unused (protocol compatibility)
+    block_tables: jax.Array,  # unused (protocol compatibility)
+    q_positions: jax.Array,  # [B, Lq] int32 absolute positions; -1 = padded row
+    scale: float,
+) -> jax.Array:
+    """Causal prefill self-attention over the batch's fresh K/V — the
+    no-prefix-cache-hit case never needs to READ the paged cache (it just
+    wrote these exact rows). Reading back through the cache makes the
+    layer scatter-then-gather the 1+ GiB cache carry, which XLA lowers to
+    a whole-cache copy per layer: measured 271 ms of the 330 ms target
+    prefill on v5e (36L, 4096 rows) vs ~10 ms for this path. This is the
+    reference's ``flash_attn_varlen_func``-without-block-table shape
+    (reference: attention.py:71-76); prefix-cache hits take
+    ``prefill_attention_jnp`` instead. Consumers mark this flavor with
+    ``wants_fresh_kv`` (models/transformer.run_layers)."""
+    b, lq = q_positions.shape
+    n, hq, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    qb = q.reshape(b, lq, hkv, g, d)
+    kb = k.reshape(b, lq, hkv, d)
+    vb = v.reshape(b, lq, hkv, d)
+    kv_pos = q_positions  # keys are the same rows as the queries
+
+    def chunk_attn(args):
+        qc, qpos_c = args  # [B, C, Hkv, G, D], [B, C]
+        scores = (
+            jnp.einsum("blkgd,bskd->bklgs", qc, kb, preferred_element_type=jnp.float32)
+            * scale
+        )
+        visible = (kv_pos[:, None, :] >= 0) & (
+            kv_pos[:, None, :] <= qpos_c[:, :, None]
+        )  # [B, C, Lq]
+        scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
+        mx = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - mx)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(denom, 1e-30)
+        return jnp.einsum("bklgs,bskd->blkgd", p, vb, preferred_element_type=jnp.float32)
+
+    chunk = 128
+    if lq <= chunk or lq % chunk != 0:
+        out = chunk_attn((qb, q_positions))
+    else:
+        nc = lq // chunk
+        qs = qb.reshape(b, nc, chunk, hkv, g, d).transpose(1, 0, 2, 3, 4, 5)
+        ps = q_positions.reshape(b, nc, chunk).transpose(1, 0, 2)
+        out = jax.lax.map(chunk_attn, (qs, ps))
         out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, lq, hkv, g, d)
     return out.reshape(n, hq, d).astype(q.dtype)
 

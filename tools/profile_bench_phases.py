@@ -28,9 +28,9 @@ def main():
     from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
 
     # exactly bench.py defaults
-    batch, gamma, steps, prompt_len, ar_max = 32, 8, 100, 64, 512
+    batch, gamma, steps, prompt_len, ar_max = 32, 12, 145, 64, 145 * 13
     hidden, ffn, heads, kvh, vocab = 1024, 4096, 16, 2, 32768
-    dl, tl, block = 3, 18, 256
+    dl, tl, block = 3, 36, 256
 
     def mc(layers):
         return ModelConfig(
