@@ -34,11 +34,16 @@ def round_up(x: int, m: int) -> int:
 
 @dataclass
 class SamplingParams:
-    """Per-request sampling parameters (reference: layers/sampler.py:45-52)."""
+    """Per-request sampling parameters (reference: layers/sampler.py:45-52;
+    top_k/top_p are beyond the reference's temperature-only sampler —
+    they filter both the sampled distribution and the PEARL accept-test /
+    revise distributions, see ops/sampling.apply_top_k_top_p)."""
 
     temperature: float = 1.0
     max_tokens: int = 64
     ignore_eos: bool = False
+    top_k: int = 0  # <= 0: disabled
+    top_p: float = 1.0  # >= 1: disabled
 
 
 @dataclass

@@ -82,6 +82,26 @@ class PearlOrchestrator:
         jax.block_until_ready(self.draft.kv)
         jax.block_until_ready(self.target.kv)
 
+    @staticmethod
+    def _tk_tp(seqs, b_pad):
+        """Per-row top_k/top_p arrays, or (None, None) when every row has
+        filtering disabled (keeps the unfiltered compiled programs)."""
+        if all(s.top_k <= 0 and s.top_p >= 1.0 for s in seqs):
+            return None, None
+        tk = np.zeros((b_pad,), np.int32)
+        tp = np.ones((b_pad,), np.float32)
+        for i, s in enumerate(seqs):
+            tk[i] = max(s.top_k, 0)
+            tp[i] = min(s.top_p, 1.0)
+        return tk, tp
+
+    def _filtering_active(self) -> bool:
+        """True when any live request uses top-k/top-p — those take the
+        per-round overlap path (the fused on-device loop's sampler is
+        greedy/temperature only)."""
+        pool = list(self.scheduler.running) + list(self.scheduler.waiting)
+        return any(s.top_k > 0 or s.top_p < 1.0 for s in pool)
+
     def _m_pad(self, views) -> int:
         m = max(len(v.block_table) for v in views)
         return min(next_pow2(max(m, 8)), self.pcfg.max_blocks_per_seq)
@@ -134,8 +154,11 @@ class PearlOrchestrator:
                 self._m_pad_tight([s.target for s in seqs]),
                 fresh_only=fresh_t,
             )
+            tk, tp = self._tk_tp(seqs, b_pad)
             toks_t = np.asarray(
-                self.target.sample_tokens(logits_t, temps, self._next_seed())
+                self.target.sample_tokens(
+                    logits_t, temps, self._next_seed(), top_ks=tk, top_ps=tp
+                )
             )
             # The committed (target) sample seeds BOTH streams. The reference
             # has each group sample its own first token (:313-314) because
@@ -209,9 +232,10 @@ class PearlOrchestrator:
             max_tokens[i] = min(s.max_tokens, np.iinfo(np.int64).max // 2)
             ignore_eos[i] = s.ignore_eos
             temps[i] = s.temperature
+        tk, tp = self._tk_tp(seqs, b_pad)
         res = self.target.verdict(
             logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
-            ignore_eos, self._next_seed(), gamma,
+            ignore_eos, self._next_seed(), gamma, top_ks=tk, top_ps=tp,
         )
 
         # 7: fetch the 5 verdict vectors
@@ -284,7 +308,7 @@ class PearlOrchestrator:
         start = time.perf_counter()
         self.prefill_all()
         gamma = self._pick_gamma() if self.scheduler.running else 1
-        if self.fused is not None:
+        if self.fused is not None and not self._filtering_active():
             self._fused_pearl_run(gamma, num_steps=None)
         else:
             while not self.scheduler.is_finished():
@@ -302,7 +326,7 @@ class PearlOrchestrator:
             seq.max_tokens = 10**9
             seq.ignore_eos = True
         gamma = self._pick_gamma() if self.scheduler.running else 1
-        if self.fused is not None:
+        if self.fused is not None and not self._filtering_active():
             self._fused_pearl_run(gamma, num_steps=num_pearl_steps)
         else:
             for _ in range(num_pearl_steps):
@@ -321,7 +345,7 @@ class PearlOrchestrator:
         group but discards its output; we skip that waste)."""
         start = time.perf_counter()
         self.prefill_all(target_only=True)
-        if self.pcfg.execution_mode != "overlap":
+        if self.pcfg.execution_mode != "overlap" and not self._filtering_active():
             self._fused_ar_run()
         else:
             while not self.scheduler.is_finished():
@@ -332,7 +356,12 @@ class PearlOrchestrator:
                 logits = self.target.decode(views, b_pad, self._m_pad(views))
                 temps = np.zeros((b_pad,), np.float32)
                 temps[:b] = [s.temperature for s in seqs]
-                toks = np.asarray(self.target.sample_tokens(logits, temps, self._next_seed()))
+                tk, tp = self._tk_tp(seqs, b_pad)
+                toks = np.asarray(
+                    self.target.sample_tokens(
+                        logits, temps, self._next_seed(), top_ks=tk, top_ps=tp
+                    )
+                )
                 self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
         self._sync()
         return time.perf_counter() - start
@@ -526,7 +555,7 @@ class PearlOrchestrator:
         if not self.scheduler.running:
             return
         gamma = self._pick_gamma()
-        if self.fused is not None:
+        if self.fused is not None and not self._filtering_active():
             self._fused_pearl_run(gamma, num_steps=fused_rounds)
         else:
             self.pearl_round(gamma)

@@ -39,7 +39,7 @@ from nano_pearl_tpu.ops.attention import (
     prefill_attention_jnp,
 )
 from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
-from nano_pearl_tpu.ops.sampling import greedy, sample
+from nano_pearl_tpu.ops.sampling import apply_top_k_top_p, greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 from nano_pearl_tpu.parallel.mesh import GroupMesh
 from nano_pearl_tpu.parallel.sharding import kv_cache_sharding, param_shardings
@@ -199,9 +199,11 @@ class GroupRunner:
         self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=2, static_argnames="gamma")
         self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=2)
         self._jit_verdict = jax.jit(
-            self._verdict_impl, static_argnames=("gamma", "greedy_only")
+            self._verdict_impl, static_argnames=("gamma", "greedy_only", "filtered")
         )
-        self._jit_sample = jax.jit(self._sample_impl, static_argnames="greedy_only")
+        self._jit_sample = jax.jit(
+            self._sample_impl, static_argnames=("greedy_only", "filtered")
+        )
 
     # ------------------------------------------------------------------ setup
 
@@ -312,18 +314,24 @@ class GroupRunner:
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)
 
-    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, seed, *, gamma, greedy_only):
+    def _verdict_impl(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, eos_ids, seed, tk, tp, *, gamma, greedy_only, filtered):
         # seed -> key inside the jit so inputs stay device-neutral (host
         # ints place onto this group's mesh; a pre-committed key from the
         # default backend would conflict with CPU-mesh dry runs)
+        if filtered:
+            logits = apply_top_k_top_p(
+                logits, tk[:, None], tp[:, None], temps[:, None]
+            )
         return verify_verdict(
             logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos,
             eos_ids, jax.random.key(seed), gamma, greedy=greedy_only,
         )
 
-    def _sample_impl(self, logits, temps, seed, *, greedy_only=False):
+    def _sample_impl(self, logits, temps, seed, tk, tp, *, greedy_only=False, filtered=False):
         if greedy_only:
             return greedy(logits)
+        if filtered:
+            logits = apply_top_k_top_p(logits, tk, tp, temps)
         return sample(logits, temps, jax.random.key(seed))
 
     # ------------------------------------------------------------- host API
@@ -433,16 +441,26 @@ class GroupRunner:
         )
         return logits
 
-    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int):
+    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int, top_ks=None, top_ps=None):
         eos_ids = np.asarray(self.cfg.eos_ids, np.int32)
         greedy_only = bool(np.all(np.asarray(temps) == 0.0))
+        filtered = top_ks is not None and not greedy_only
+        b = np.asarray(temps).shape[0]
+        tk = np.asarray(top_ks, np.int32) if filtered else np.zeros((b,), np.int32)
+        tp = np.asarray(top_ps, np.float32) if filtered else np.ones((b,), np.float32)
         return self._jit_verdict(
             logits, tbv, is_pre, temps, num_completion, max_tokens,
-            ignore_eos, eos_ids, np.int64(seed), gamma=gamma, greedy_only=greedy_only,
+            ignore_eos, eos_ids, np.int64(seed), tk, tp,
+            gamma=gamma, greedy_only=greedy_only, filtered=filtered,
         )
 
-    def sample_tokens(self, logits, temps: np.ndarray, seed: int) -> jax.Array:
+    def sample_tokens(self, logits, temps: np.ndarray, seed: int, top_ks=None, top_ps=None) -> jax.Array:
         greedy_only = bool(np.all(np.asarray(temps) == 0.0))
+        filtered = top_ks is not None and not greedy_only
+        b = np.asarray(temps).shape[0]
+        tk = np.asarray(top_ks, np.int32) if filtered else np.zeros((b,), np.int32)
+        tp = np.asarray(top_ps, np.float32) if filtered else np.ones((b,), np.float32)
         return self._jit_sample(
-            logits, np.asarray(temps, np.float32), np.int64(seed), greedy_only=greedy_only
+            logits, np.asarray(temps, np.float32), np.int64(seed), tk, tp,
+            greedy_only=greedy_only, filtered=filtered,
         )

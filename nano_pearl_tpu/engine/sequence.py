@@ -82,6 +82,8 @@ class Sequence:
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos
+        self.top_k = sampling_params.top_k
+        self.top_p = sampling_params.top_p
         # PEARL state (reference: sequence.py:30-32)
         self.pre_verify = True
         self.num_acc_tokens: list[int] = []

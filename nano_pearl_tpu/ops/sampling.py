@@ -27,6 +27,40 @@ def mask_invalid_logits(logits: jax.Array, valid_vocab: int) -> jax.Array:
     return jnp.where(iota < valid_vocab, logits, NEG_INF)
 
 
+def apply_top_k_top_p(
+    logits: jax.Array,  # [..., V]
+    top_k: jax.Array,  # [...] int32; <= 0 disables
+    top_p: jax.Array,  # [...] float32; >= 1 disables
+    temperatures: jax.Array | None = None,  # [...] for the nucleus cumsum
+) -> jax.Array:
+    """HF-style top-k then top-p (nucleus) logit filtering, vectorized
+    over mixed per-row settings (beyond the reference, whose sampler is
+    temperature-only: layers/sampler.py). Kept tokens keep their logits;
+    filtered tokens go to NEG_INF, so every consumer (Gumbel sampling,
+    ``norm_probs`` for the PEARL accept test, revise resampling) sees the
+    renormalized filtered distribution. The nucleus mass is computed at
+    the row's sampling temperature, matching HF's warper order
+    (temperature -> top_k -> top_p)."""
+    lf = logits.astype(jnp.float32)
+    v = lf.shape[-1]
+    sorted_desc = -jnp.sort(-lf, axis=-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, lf.shape, lf.ndim - 1)
+    k_eff = jnp.where(top_k > 0, jnp.clip(top_k, 1, v), v)[..., None]
+    in_k = iota < k_eff
+    sorted_kept = jnp.where(in_k, sorted_desc, NEG_INF)
+    t = 1.0 if temperatures is None else jnp.maximum(temperatures, 1e-10)[..., None]
+    probs = jax.nn.softmax(sorted_kept / t, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep the minimal prefix whose mass reaches top_p (the crossing token
+    # included — HF's shifted-mask semantics); position 0 always survives
+    keep = (cum - probs) < jnp.minimum(top_p, 1.0)[..., None]
+    count = jnp.sum(keep & in_k, axis=-1)
+    thresh = jnp.take_along_axis(
+        sorted_desc, jnp.maximum(count - 1, 0)[..., None], axis=-1
+    )
+    return jnp.where(lf < thresh, NEG_INF, lf)
+
+
 def greedy(logits: jax.Array) -> jax.Array:
     """Argmax over the last dim (reference: sampler.py:39-40)."""
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
