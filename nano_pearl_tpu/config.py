@@ -17,7 +17,6 @@ TPU-native counterpart of the reference config system
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass, field, replace
 

@@ -17,7 +17,6 @@ full draft round is a single dispatch.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -24,7 +24,6 @@ from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
 from nano_pearl_tpu.models.transformer import (
     compute_logits,
     forward,
-    init_params,
     make_rope_table,
 )
 from nano_pearl_tpu.ops.attention import paged_attention_jnp
