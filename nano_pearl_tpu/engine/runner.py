@@ -32,10 +32,12 @@ from nano_pearl_tpu.models.transformer import (
     make_rope_table,
 )
 from nano_pearl_tpu.ops.attention import (
-    prefill_self_attention_jnp,
+    gather_prefix_kv,
     paged_attention,
     paged_attention_grouped,
     prefill_attention_jnp,
+    prefill_prefix_attention_jnp,
+    prefill_self_attention_jnp,
 )
 from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
 from nano_pearl_tpu.ops.sampling import apply_top_k_top_p, greedy, sample
@@ -162,6 +164,13 @@ class GroupRunner:
         # composes with sp/pp/union unchanged)
         self._attn_prefill_self = partial(prefill_self_attention_jnp, scale=self.scale)
         self._attn_prefill_self.wants_fresh_kv = True
+        # prefix-hit prefill: fresh-KV self-attention merged with a
+        # PRE-GATHERED cached prefix (no cache read inside the layer scan
+        # either — see _prefill_prefix_impl); plain meshes only
+        self._attn_prefill_prefix = partial(
+            prefill_prefix_attention_jnp, scale=self.scale
+        )
+        self._attn_prefill_prefix.wants_fresh_kv = True
 
         self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
         if self.sp_size > 1:
@@ -194,6 +203,9 @@ class GroupRunner:
         # jax Arrays would be inlined into the HLO as constants
         self._jit_prefill = jax.jit(self._prefill_impl, donate_argnums=2)
         self._jit_prefill_self = jax.jit(self._prefill_self_impl, donate_argnums=2)
+        self._jit_prefill_prefix = jax.jit(
+            self._prefill_prefix_impl, donate_argnums=2, static_argnames="m_pre"
+        )
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=2)
         self._jit_gamma = jax.jit(self._gamma_impl, donate_argnums=2, static_argnames="gamma")
         self._jit_verify_fwd = jax.jit(self._verify_fwd_impl, donate_argnums=2)
@@ -256,6 +268,20 @@ class GroupRunner:
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill_self, (block_tables, q_positions),
+            kv_write_fn=self._kv_write,
+        )
+        return kv, compute_logits(self.cfg, params, hidden[sel_rows])
+
+    def _prefill_prefix_impl(self, params, rope, kv, tokens, positions, slots, block_tables, q_positions, sel_rows, num_cached, *, m_pre):
+        """Prefill variant for batches WITH prefix-cache hits: the cached
+        prefix K/V are gathered ONCE before the layer scan (read-only, so
+        the scan's scatters stay in place) and attention merges the
+        prefix and fresh-KV partial softmaxes
+        (ops/attention.prefill_prefix_attention_jnp)."""
+        pk, pv = gather_prefix_kv(kv, block_tables[:, :m_pre])
+        hidden, kv = self._forward(
+            self.cfg, params, kv, tokens, positions, slots, rope,
+            self._attn_prefill_prefix, (pk, pv, num_cached, q_positions),
             kv_write_fn=self._kv_write,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
@@ -343,9 +369,11 @@ class GroupRunner:
         m_pad: int,
         fresh_only: bool = False,
     ):
-        """Returns logits [b_pad, V] (device, async). ``fresh_only`` marks
-        a batch with no prefix-cache hits, which takes the fresh-KV
-        self-attention program (see _prefill_self_impl)."""
+        """Returns logits [b_pad, V] (device, async). Program choice:
+        ``fresh_only`` (no prefix-cache hits anywhere) -> fresh-KV
+        self-attention (_prefill_self_impl); prefix hits on a plain mesh
+        -> pre-gathered prefix merge (_prefill_prefix_impl); otherwise
+        the cache-reading fallback (_prefill_impl)."""
         bs = self.block_size
         b = len(views)
         tokens = np.zeros((b_pad, lq_pad), np.int32)
@@ -365,12 +393,39 @@ class GroupRunner:
             slots[i, :n] = [v.token_to_slot(t) for t in range(start, start + n)]
             block_tables[i, : len(v.block_table)] = v.block_table
             sel_rows[i] = i * lq_pad + n - 1
-        fn = self._jit_prefill_self if fresh_only else self._jit_prefill
-        self.kv, logits = fn(
+        args = (
             self.params, self.rope_table, self.kv, tokens.reshape(-1),
             positions.reshape(-1), slots.reshape(-1), block_tables, q_positions, sel_rows,
         )
+        if fresh_only:
+            self.kv, logits = self._jit_prefill_self(*args)
+        elif self.sp_size == 1 and self.pp_size == 1 and self._prefix_disjoint(views):
+            num_cached = np.zeros((b_pad,), np.int32)
+            num_cached[:b] = [v.num_cached_tokens for v in views]
+            m_pre = min(
+                next_pow2(max(1, -(-int(num_cached.max()) // bs))), m_pad
+            )
+            self.kv, logits = self._jit_prefill_prefix(
+                *args, num_cached, m_pre=m_pre
+            )
+        else:
+            self.kv, logits = self._jit_prefill(*args)
         return logits
+
+    @staticmethod
+    def _prefix_disjoint(views: list[SeqView]) -> bool:
+        """True when no view's cached-prefix blocks are WRITTEN by another
+        view in this same batch (within-batch prefix sharing: the shared
+        blocks are only filled during this forward, so the pre-gathered
+        prefix path would read zeros — those batches take the
+        cache-reading fallback)."""
+        written = set()
+        for v in views:
+            written.update(v.block_table[v.num_cached_tokens // v.block_size:])
+        return all(
+            not written.intersection(v.block_table[: v.num_cached_blocks])
+            for v in views
+        )
 
     def _decode_arrays(self, views: list[SeqView], b_pad: int, m_pad: int, with_slots: bool):
         bs = self.block_size

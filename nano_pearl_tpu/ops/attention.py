@@ -213,6 +213,109 @@ def prefill_self_attention_jnp(
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
+def gather_prefix_kv(cache, block_tables: jax.Array):
+    """Pre-gather the cached-prefix K/V for ALL layers:
+    [L, B, M*BS, Hkv, D] (x2). Runs BEFORE the layer scan, so the scan's
+    KV scatters never conflict with a cache read and stay in place (see
+    prefill_self_attention_jnp for why that matters). Quantized caches
+    dequantize here (f32)."""
+    if cache_is_quantized(cache):
+        q, s = cache["q"], cache["s"]
+        k = dequant_rows(q[:, 0][:, block_tables], s[:, 0][:, block_tables])
+        v = dequant_rows(q[:, 1][:, block_tables], s[:, 1][:, block_tables])
+    else:
+        k = cache[:, 0][:, block_tables]  # [L, B, M, BS, Hkv, D]
+        v = cache[:, 1][:, block_tables]
+    l, b, m, bs, hkv, d = k.shape
+    return k.reshape(l, b, m * bs, hkv, d), v.reshape(l, b, m * bs, hkv, d)
+
+
+def _partial_softmax(scores: jax.Array, visible: jax.Array, v: jax.Array):
+    """Flash-style partials over the key axis (last): returns
+    (m [.. ,1], l [.., 1], o_unnormalized) with -inf-safe masking."""
+    scores = jnp.where(visible, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    # rows with nothing visible: exp(NEG_INF - NEG_INF) would be 1 — pin
+    # the max at 0 so p underflows to exp(NEG_INF) = 0 instead
+    m_safe = jnp.maximum(m, -1e29)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(visible, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("...s,...sd->...d", p, v, preferred_element_type=jnp.float32)
+    return m_safe, l, o
+
+
+def prefill_prefix_attention_jnp(
+    q: jax.Array,  # [N = B*Lq, Hq, D] flat new-token queries, seq-major
+    k: jax.Array,  # [N, Hkv, D] fresh post-rope keys for the new tokens
+    v: jax.Array,  # [N, Hkv, D]
+    layer_idx,  # traced int32
+    prefix_k: jax.Array,  # [L, B, S_pre, Hkv, D] pre-gathered cached prefix
+    prefix_v: jax.Array,  # [L, B, S_pre, Hkv, D]
+    num_cached: jax.Array,  # [B] int32 cached-prefix lengths
+    q_positions: jax.Array,  # [B, Lq] int32 absolute positions; -1 = padded
+    scale: float,
+) -> jax.Array:
+    """Prefill attention for batches WITH prefix-cache hits: causal
+    self-attention over the fresh K/V merged (log-sum-exp flash partials)
+    with full attention over the pre-gathered cached prefix. Covers the
+    reference's prefix-cache prefill (flash_attn_varlen_func with a
+    paged block_table, attention.py:71-76) without reading the cache
+    inside the layer scan. Marked ``wants_fresh_kv``."""
+    b, lq = q_positions.shape
+    n, hq, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    qb = q.reshape(b, lq, hkv, g, d)
+    kb = k.reshape(b, lq, hkv, d)
+    vb = v.reshape(b, lq, hkv, d)
+    pk = prefix_k[layer_idx].astype(jnp.float32)  # [B, S_pre, Hkv, D]
+    pv = prefix_v[layer_idx].astype(jnp.float32)
+    s_pre = pk.shape[1]
+    kv_pos = q_positions
+
+    # values pre-arranged for the partial einsum: [B, K, 1, 1, S, D]
+    vb_e = vb.transpose(0, 2, 1, 3)[:, :, None, None]
+    pv_e = pv.transpose(0, 2, 1, 3)[:, :, None, None]
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (b, s_pre), 1)
+
+    def chunk_attn(args):
+        qc, qpos_c = args  # [B, C, Hkv, G, D], [B, C]
+        # fresh-token (causal) part — scores [B, K, C, G, S=lq]
+        sc_s = (
+            jnp.einsum("blkgd,bskd->bklgs", qc, kb, preferred_element_type=jnp.float32)
+            * scale
+        )
+        vis_s = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= qpos_c[:, :, None])
+        m_s, l_s, o_s = _partial_softmax(sc_s, vis_s[:, None, :, None, :], vb_e)
+        # prefix part: every real query row sees positions < num_cached
+        sc_p = (
+            jnp.einsum("blkgd,bskd->bklgs", qc, pk, preferred_element_type=jnp.float32)
+            * scale
+        )
+        vis_p = (s_iota[:, None, :] < num_cached[:, None, None]) & (
+            qpos_c[:, :, None] >= 0
+        )
+        m_p, l_p, o_p = _partial_softmax(sc_p, vis_p[:, None, :, None, :], pv_e)
+        mx = jnp.maximum(m_s, m_p)
+        a_s = jnp.exp(m_s - mx)
+        a_p = jnp.exp(m_p - mx)
+        l = l_s * a_s + l_p * a_p
+        o = (o_s * a_s + o_p * a_p) / jnp.maximum(l, 1e-30)
+        return o.transpose(0, 2, 1, 3, 4)  # [B, C, K, G, D]
+
+    chunk = 128
+    if lq <= chunk or lq % chunk != 0:
+        out = chunk_attn((qb, q_positions))
+    else:
+        nc = lq // chunk
+        qs = qb.reshape(b, nc, chunk, hkv, g, d).transpose(1, 0, 2, 3, 4, 5)
+        ps = q_positions.reshape(b, nc, chunk).transpose(1, 0, 2)
+        out = jax.lax.map(chunk_attn, (qs, ps))  # [nc, B, C, K, G, D]
+        out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, lq, hkv, g, d)
+    return out.reshape(n, hq, d).astype(q.dtype)
+
+
 def paged_attention_grouped(
     q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group,
     use_pallas=None,

@@ -92,6 +92,28 @@ def test_prefix_cache_within_batch(engine):
     assert out[0] == out[1]
 
 
+def test_prefix_cache_across_batches_fast_path():
+    """A prompt whose prefix blocks were written by a PREVIOUS admission
+    batch takes the pre-gathered prefix-prefill program
+    (runner._prefill_prefix_impl) and must produce identical outputs.
+    max_num_batched_tokens forces the two identical prompts into separate
+    admission batches, so batch 2 hits batch 1's committed blocks."""
+    from helpers import tiny_pearl_config
+
+    cfg = tiny_pearl_config(
+        max_model_len=256, max_num_batched_tokens=256, gamma=2
+    )
+    eng = PearlEngine(cfg)
+    long_prompt = list(range(1, 131))  # 2 prompts > 256 tokens -> 2 batches
+    for _ in range(2):
+        eng.add_request(long_prompt, SamplingParams(temperature=0.0, max_tokens=4))
+    out, n, _, _ = eng.generate_token_ids()
+    assert out[0] == out[1]
+    # the second batch must have gone through the prefix program
+    assert eng.target._jit_prefill_prefix._cache_size() > 0
+    assert eng.draft._jit_prefill_prefix._cache_size() > 0
+
+
 def test_temperature_sampling_differs_and_completes(engine):
     engine.config.gamma = 2
     # ignore_eos: with random weights a T=1 sample can hit EOS by chance
