@@ -138,3 +138,55 @@ def test_prefill_attention_chunked_matches_paged_rows():
         q, cache, LI, jnp.repeat(bt, lq, axis=0), (q_pos + 1).reshape(-1), 0.25
     )
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(rows), rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_prefix_attention_matches_dense():
+    """prefill_prefix_attention_jnp (pre-gathered cached prefix merged
+    with fresh-KV causal self-attention via flash partials) must agree
+    with dense attention over [prefix ++ visible fresh] keys, including
+    padded rows and the chunked Lq path."""
+    from nano_pearl_tpu.ops.attention import (
+        gather_prefix_kv,
+        prefill_prefix_attention_jnp,
+    )
+
+    rng = np.random.default_rng(11)
+    nb, bs, hkv, hq, d = 6, 8, 2, 4, 16
+    scale = d**-0.5
+    for b, lq, cached in [(2, 5, (8, 3)), (1, 256, (16,))]:
+        cache = build_cache(rng, nb, bs, hkv, d)
+        bt = np.arange(b * 3, dtype=np.int32).reshape(b, 3)
+        num_cached = np.asarray(cached, np.int32)
+        # row j of seq i continues at absolute position num_cached[i]+j;
+        # last row of seq 0 padded (-1) when lq is small
+        q_pos = np.stack([np.arange(c, c + lq) for c in cached]).astype(np.int32)
+        if lq == 5:
+            q_pos[0, -1] = -1
+        q = rng.standard_normal((b * lq, hq, d)).astype(np.float32)
+        k = rng.standard_normal((b * lq, hkv, d)).astype(np.float32)
+        v = rng.standard_normal((b * lq, hkv, d)).astype(np.float32)
+
+        pk, pv = gather_prefix_kv(cache, jnp.asarray(bt))
+        out = np.asarray(
+            prefill_prefix_attention_jnp(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), LI,
+                pk, pv, jnp.asarray(num_cached), jnp.asarray(q_pos), scale,
+            )
+        ).reshape(b, lq, hq, d)
+
+        kc, vc = np.asarray(cache[0, 0]), np.asarray(cache[0, 1])
+        kf = k.reshape(b, lq, hkv, d)
+        vf = v.reshape(b, lq, hkv, d)
+        for i in range(b):
+            pre_k = kc[bt[i]].reshape(-1, hkv, d)[: num_cached[i]]
+            pre_v = vc[bt[i]].reshape(-1, hkv, d)[: num_cached[i]]
+            for j in range(lq):
+                if q_pos[i, j] < 0:
+                    continue
+                vis = (q_pos[i] >= 0) & (q_pos[i] <= q_pos[i, j])
+                full_k = np.concatenate([pre_k, kf[i][vis]])
+                full_v = np.concatenate([pre_v, vf[i][vis]])
+                want = dense_attention(
+                    q.reshape(b, lq, hq, d)[i, j], full_k, full_v, scale, len(full_k)
+                )
+                np.testing.assert_allclose(out[i, j], want, rtol=2e-5, atol=2e-5)
