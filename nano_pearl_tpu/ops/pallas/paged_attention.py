@@ -41,8 +41,10 @@ NEG_INF = -1e30
 
 def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
                block_size, num_kv_heads):
-    """One flash update for a single query row: q [Hq, D] f32, k/v
-    [BS, Hkv, D] f32, scalar ctx bound."""
+    """One flash update for a single query row: q [Hq, D], k/v
+    [BS, Hkv, D] in their NATIVE dtype (bf16 stays bf16 — the MXU runs
+    bf16 x bf16 -> f32 at full rate, f32 x f32 at half), scalar ctx
+    bound. Softmax statistics and the accumulator stay f32."""
     hq, d = q.shape
     g = hq // num_kv_heads
 
@@ -69,6 +71,7 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     p = jnp.exp(s2 - m_new)  # [Hq, BS]
 
     l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    p = p.astype(v.dtype)  # p in [0,1]: bf16 PV matmul, f32 accumulate
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
@@ -89,7 +92,8 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
 def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
                block_size, num_kv_heads):
     """One flash update for R grouped query rows sharing a KV block:
-    q [R, Hq, D] f32, k/v [BS, Hkv, D] f32, ctx_rows: R scalars."""
+    q [R, Hq, D], k/v [BS, Hkv, D] in their NATIVE dtype (see
+    _sr_update), ctx_rows: R scalars."""
     r, hq, d = q.shape
     g = hq // num_kv_heads
 
@@ -119,6 +123,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
     p = jnp.exp(s2 - m_new)
     l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
+    p = p.astype(v.dtype)  # p in [0,1]: bf16 PV matmul, f32 accumulate
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
@@ -179,9 +184,7 @@ def _kernel(
     @pl.when(block_start < ctx)
     def _compute():
         _sr_update(
-            q_ref[0].astype(jnp.float32),
-            k_ref[0].astype(jnp.float32),
-            v_ref[0].astype(jnp.float32),
+            q_ref[0], k_ref[0], v_ref[0],
             ctx, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
         )
@@ -220,9 +223,7 @@ def _grouped_kernel(
     @pl.when(block_start < ctx_max)
     def _compute():
         _gr_update(
-            q_ref[...].astype(jnp.float32),
-            k_ref[0].astype(jnp.float32),
-            v_ref[0].astype(jnp.float32),
+            q_ref[...], k_ref[0], v_ref[0],
             ctx_rows, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
         )
@@ -258,10 +259,13 @@ def _kernel_q8(
 
     @pl.when(block_start < ctx)
     def _compute():
-        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]
-        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        # dequantize to the query dtype: bf16 operands keep the MXU at
+        # full rate (the f32 dequant product is a VPU-side convert)
+        dt = q_ref.dtype
+        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
+        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
         _sr_update(
-            q_ref[0].astype(jnp.float32), k, v,
+            q_ref[0], k, v,
             ctx, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
         )
@@ -296,10 +300,11 @@ def _grouped_kernel_q8(
 
     @pl.when(block_start < ctx_max)
     def _compute():
-        k = k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]
-        v = v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]
+        dt = q_ref.dtype
+        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
+        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
         _gr_update(
-            q_ref[...].astype(jnp.float32), k, v,
+            q_ref[...], k, v,
             ctx_rows, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
         )

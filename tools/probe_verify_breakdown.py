@@ -1,0 +1,276 @@
+"""Bisect the PEARL packed-verify forward cost on the local chip.
+
+The perf ledger has the 36L/448-row verify forward at ~12 ms on v5e
+(~33% of GEMM speed-of-light). This probe separates:
+
+  full        exact fused._target_packed (grouped pallas attn + kv write)
+  id_attn     same forward, attention replaced by identity (o = q)
+  id_nokv     identity attention AND kv write skipped
+  sep_scan    bare GEMM stack (rms/rope/residual kept), lax.scan layers
+  fused_scan  same but qkv fused into one GEMM and gate|up fused
+  sep_unroll  bare GEMM stack, python-unrolled layers (no scan slicing)
+  lm_head     compute_logits alone on the 448-row hidden
+
+Method: each variant runs inside ONE jit as a lax.scan with a chained
+carry (loop-invariant hoisting defeated), timed at two trip counts and
+differenced; a scalar is fetched to force execution (block_until_ready
+lies over the axon tunnel).
+
+Usage: python tools/probe_verify_breakdown.py [--gamma 14] [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gamma", type=int, default=14)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--target-layers", type=int, default=36)
+    p.add_argument("--lo", type=int, default=3)
+    p.add_argument("--hi", type=int, default=13)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["NANO_PEARL_PALLAS"] = "0"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    import bench as benchmod
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
+    from nano_pearl_tpu.models.transformer import compute_logits, rms_norm
+    from nano_pearl_tpu.ops.rope import apply_rope
+
+    b, gamma = args.batch, args.gamma
+    n_rows = b * gamma
+
+    def mc(layers):
+        return ModelConfig(
+            architecture="LlamaForCausalLM", hidden_size=1024,
+            intermediate_size=4096, num_hidden_layers=layers,
+            num_attention_heads=16, num_key_value_heads=2,
+            vocab_size=32768, eos_token_id=1,
+            dtype="float32" if args.cpu else "bfloat16",
+            max_position_embeddings=2048,
+        )
+
+    dmc, tmc = mc(3), mc(args.target_layers)
+    dparams, tparams = benchmod.build_layer_share_pair(dmc, tmc, 0)
+    max_len, block = 2048, 256
+    cfg = PearlConfig(
+        draft_model=dmc, target_model=tmc, max_model_len=max_len,
+        max_num_batched_tokens=max(16384, b * 64),
+        kvcache_block_size=block,
+        num_kvcache_blocks=b * (max_len // block) + 8,
+        gamma=gamma, max_num_seqs=max(b, 8), seed=0,
+    )
+    engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
+    fused = engine.orchestrator.fused
+    assert fused is not None
+    target = fused.target
+    tcfg = target.cfg
+    eps = tcfg.rms_norm_eps
+
+    rng = np.random.default_rng(0)
+    for _ in range(b):
+        prompt = rng.integers(2, 32766, 64).tolist()
+        engine.add_request(
+            prompt,
+            SamplingParams(temperature=0.0, max_tokens=max_len - 80, ignore_eos=True),
+        )
+    engine.orchestrator.prefill_all()
+    seqs = list(engine.scheduler.running)
+    for s_ in seqs:
+        s_.max_tokens = 2**30
+    state = engine.orchestrator._build_fused_state(seqs, lambda s: max_len - 80)
+    tokens, length, bt_t = state["tokens"], state["length"], state["bt_t"]
+    num_input = jnp.full((b,), gamma, jnp.int32)
+
+    def timed(make_body, init_carry, extra):
+        """time one iteration of scan(body) via trip-count differencing."""
+
+        def run(n_steps):
+            @jax.jit
+            def prog(carry, extra):
+                def step(c, _):
+                    return make_body(c, extra), None
+
+                out, _ = jax.lax.scan(step, carry, None, length=n_steps)
+                return jax.tree.reduce(
+                    lambda a, x: a + x.sum().astype(jnp.float32)
+                    if x.dtype != jnp.bool_ else a,
+                    out, jnp.float32(0),
+                )
+
+            # warm (compile) + 2 timed reps, best kept
+            float(prog(init_carry, extra))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(prog(init_carry, extra))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo, t_hi = run(args.lo), run(args.hi)
+        return (t_hi - t_lo) / (args.hi - args.lo)
+
+    results = {}
+
+    # ---- 1. full verify forward (kv carried = real dependency chain;
+    # logits folded into the carry so the lm head isn't DCE'd)
+    def body_full(carry, _):
+        kv, c = carry
+        kv2, logits = fused._target_packed(
+            target.params, target.rope_table, kv, tokens, length, num_input,
+            bt_t, gamma,
+        )
+        return kv2, c + logits.mean()
+
+    results["full"] = timed(body_full, (target.kv, jnp.float32(0)), None)
+
+    # ---- 2. identity attention (kv write kept)
+    def _fwd_with(attn_fn, kv_write):
+        from nano_pearl_tpu.models.transformer import forward
+
+        def body(carry, _):
+            kv, c = carry
+            bsz = block
+            j = jnp.arange(gamma, dtype=jnp.int32)[None, :]
+            idx = jnp.clip(length[:, None] - num_input[:, None] + j, 0)
+            toks = jnp.take_along_axis(tokens, idx, axis=1)
+            blk = jnp.take_along_axis(bt_t, idx // bsz, axis=1)
+            slots = blk * bsz + idx % bsz
+            flat = lambda x: x.reshape(b * gamma)
+            hidden, kv2 = forward(
+                tcfg, target.params, kv, flat(toks), flat(idx), flat(slots),
+                target.rope_table, attn_fn, (bt_t, flat(idx + 1)),
+                kv_write_fn=kv_write,
+            )
+            logits = compute_logits(tcfg, target.params, hidden)
+            return kv2, c + logits.mean()
+
+        return body
+
+    id_attn = lambda q, cache, li, *a: q
+    results["id_attn"] = timed(
+        _fwd_with(id_attn, target._kv_write), (target.kv, jnp.float32(0)), None
+    )
+    results["id_nokv"] = timed(
+        _fwd_with(id_attn, lambda c, k, v, s, li: c),
+        (target.kv, jnp.float32(0)), None,
+    )
+
+    # ---- GEMM-stack variants on a chained hidden carry
+    layers = target.params["layers"]
+    dt = jnp.dtype(tcfg.dtype)
+    x0 = jnp.asarray(
+        rng.standard_normal((n_rows, 1024)) * 0.02, dt
+    )
+    rope_rows = target.rope_table[jnp.tile(jnp.arange(gamma), b)]
+    d, n_q, n_kv = tcfg.head_dim, 16, 2
+
+    def sep_layer(x, lp):
+        h1 = rms_norm(x, lp["input_ln"], eps)
+        q = h1 @ lp["wq"]
+        k = h1 @ lp["wk"]
+        v = h1 @ lp["wv"]
+        q = apply_rope(q.reshape(-1, n_q, d), rope_rows).reshape(-1, n_q * d)
+        k = apply_rope(k.reshape(-1, n_kv, d), rope_rows).reshape(-1, n_kv * d)
+        attn = q @ lp["wo"]
+        res = (attn.astype(jnp.float32) + x.astype(jnp.float32)).astype(dt)
+        h2 = rms_norm(res, lp["post_ln"], eps)
+        act = jax.nn.silu((h2 @ lp["wgate"]).astype(jnp.float32)).astype(dt) * (
+            h2 @ lp["wup"]
+        )
+        out = act @ lp["wdown"]
+        return (out.astype(jnp.float32) + res.astype(jnp.float32)).astype(dt) + 0 * (
+            v.sum()
+        )
+
+    def body_sep_scan(x, ls):
+        def step(c, lp):
+            return sep_layer(c, lp), None
+
+        x, _ = jax.lax.scan(step, x, ls)
+        return x
+
+    results["sep_scan"] = timed(body_sep_scan, x0, layers)
+
+    wqkv = jnp.concatenate([layers["wq"], layers["wk"], layers["wv"]], axis=2)
+    wgu = jnp.concatenate([layers["wgate"], layers["wup"]], axis=2)
+    fused_layers = {
+        "input_ln": layers["input_ln"], "post_ln": layers["post_ln"],
+        "wqkv": wqkv, "wo": layers["wo"], "wgu": wgu, "wdown": layers["wdown"],
+    }
+    hq, hkv = n_q * d, n_kv * d
+
+    def fused_layer(x, lp):
+        h1 = rms_norm(x, lp["input_ln"], eps)
+        qkv = h1 @ lp["wqkv"]
+        q, k, v = qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
+        q = apply_rope(q.reshape(-1, n_q, d), rope_rows).reshape(-1, hq)
+        k = apply_rope(k.reshape(-1, n_kv, d), rope_rows).reshape(-1, hkv)
+        attn = q @ lp["wo"]
+        res = (attn.astype(jnp.float32) + x.astype(jnp.float32)).astype(dt)
+        h2 = rms_norm(res, lp["post_ln"], eps)
+        gu = h2 @ lp["wgu"]
+        act = jax.nn.silu(gu[:, :4096].astype(jnp.float32)).astype(dt) * gu[:, 4096:]
+        out = act @ lp["wdown"]
+        return (out.astype(jnp.float32) + res.astype(jnp.float32)).astype(dt) + 0 * (
+            v.sum()
+        )
+
+    def body_fused_scan(x, ls):
+        def step(c, lp):
+            return fused_layer(c, lp), None
+
+        x, _ = jax.lax.scan(step, x, ls)
+        return x
+
+    results["fused_scan"] = timed(body_fused_scan, x0, fused_layers)
+
+    per_layer = [
+        jax.tree.map(lambda a: a[i], layers) for i in range(args.target_layers)
+    ]
+
+    def body_sep_unroll(x, ls):
+        for lp in ls:
+            x = sep_layer(x, lp)
+        return x
+
+    results["sep_unroll"] = timed(body_sep_unroll, x0, per_layer)
+
+    # ---- lm head alone
+    def body_lm(x, _):
+        logits = compute_logits(tcfg, target.params, x)
+        return (x.astype(jnp.float32) + 1e-6 * logits[:, :1024]).astype(dt)
+
+    results["lm_head+chain"] = timed(body_lm, x0, None)
+
+    print(f"\nrows={n_rows} layers={args.target_layers} "
+          f"backend={jax.default_backend()}")
+    for k, v in results.items():
+        print(f"  {k:14s} {v*1e3:8.3f} ms  ({v/n_rows*1e6:6.2f} us/row)")
+    print(f"  attn-implied   {(results['full']-results['id_attn'])*1e3:8.3f} ms")
+    print(f"  kvwrite-impl   {(results['id_attn']-results['id_nokv'])*1e3:8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
