@@ -37,7 +37,7 @@ from nano_pearl_tpu.ops.attention import (
     paged_attention_grouped,
     prefill_attention_jnp,
     prefill_prefix_attention_jnp,
-    prefill_self_attention_jnp,
+    prefill_self_attention,
 )
 from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
 from nano_pearl_tpu.ops.sampling import apply_top_k_top_p, greedy, sample
@@ -162,7 +162,9 @@ class GroupRunner:
         # fresh-KV prefill self-attention (no cache READ — valid whenever
         # no admitted sequence has prefix-cache hits; cache-free, so it
         # composes with sp/pp/union unchanged)
-        self._attn_prefill_self = partial(prefill_self_attention_jnp, scale=self.scale)
+        self._attn_prefill_self = partial(
+            prefill_self_attention, scale=self.scale, use_pallas=self.use_pallas
+        )
         self._attn_prefill_self.wants_fresh_kv = True
         # prefix-hit prefill: fresh-KV self-attention merged with a
         # PRE-GATHERED cached prefix (no cache read inside the layer scan

@@ -213,6 +213,29 @@ def prefill_self_attention_jnp(
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
+def prefill_self_attention(
+    q, k, v, layer_idx, block_tables, q_positions, scale, use_pallas=None
+):
+    """Dispatch the fresh-KV prefill to the Pallas flash kernel when
+    enabled (VMEM-resident flash statistics, no materialized score
+    tiles), else the chunked jnp path."""
+    if use_pallas is None:
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        use_pallas = attention_enabled()
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.prefill_attention import (
+            prefill_self_attention_pallas,
+        )
+
+        return prefill_self_attention_pallas(
+            q, k, v, layer_idx, block_tables, q_positions, scale
+        )
+    return prefill_self_attention_jnp(
+        q, k, v, layer_idx, block_tables, q_positions, scale
+    )
+
+
 def gather_prefix_kv(cache, block_tables: jax.Array):
     """Pre-gather the cached-prefix K/V for ALL layers:
     [L, B, M*BS, Hkv, D] (x2). Runs BEFORE the layer scan, so the scan's

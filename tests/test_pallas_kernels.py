@@ -125,3 +125,59 @@ def test_paged_attention_pallas_grouped_int8_matches_jnp():
         want = paged_attention_jnp(q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125)
         got = paged_attention_pallas_grouped(q, cache, li, bt, ctx, 0.125, rows, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_prefill_self_attention_pallas_matches_jnp():
+    from nano_pearl_tpu.ops.attention import prefill_self_attention_jnp
+    from nano_pearl_tpu.ops.pallas.prefill_attention import (
+        prefill_self_attention_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    b, lq, hkv, hq, d = 3, 20, 2, 8, 64
+    n = b * lq
+    q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32))
+    # ragged: seq0 full, seq1 12 real rows (prefix-offset positions),
+    # seq2 fully padded
+    qpos = np.full((b, lq), -1, np.int32)
+    qpos[0] = np.arange(lq)
+    qpos[1, :12] = np.arange(7, 19)
+    qpos = jnp.asarray(qpos)
+    want = prefill_self_attention_jnp(q, k, v, 0, None, qpos, d**-0.5)
+    got = prefill_self_attention_pallas(
+        q, k, v, 0, None, qpos, d**-0.5, interpret=True
+    )
+    real = np.asarray(qpos).reshape(-1) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[real], np.asarray(want)[real], rtol=3e-5, atol=3e-5
+    )
+    # fully-padded rows must be finite (0), never NaN
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_prefill_self_attention_pallas_multitile():
+    from nano_pearl_tpu.ops.attention import prefill_self_attention_jnp
+    from nano_pearl_tpu.ops.pallas.prefill_attention import (
+        prefill_self_attention_pallas,
+    )
+
+    rng = np.random.default_rng(24)
+    b, lq, hkv, hq, d = 2, 300, 2, 4, 64  # 3 tiles of 128 (padded to 384)
+    n = b * lq
+    q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, hkv, d)).astype(np.float32))
+    qpos = np.full((b, lq), -1, np.int32)
+    qpos[0] = np.arange(lq)
+    qpos[1, :200] = np.arange(200)
+    qpos = jnp.asarray(qpos)
+    want = prefill_self_attention_jnp(q, k, v, 0, None, qpos, d**-0.5)
+    got = prefill_self_attention_pallas(
+        q, k, v, 0, None, qpos, d**-0.5, interpret=True
+    )
+    real = np.asarray(qpos).reshape(-1) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[real], np.asarray(want)[real], rtol=3e-5, atol=3e-5
+    )
