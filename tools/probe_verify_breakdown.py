@@ -39,7 +39,20 @@ def main():
     p.add_argument("--lo", type=int, default=3)
     p.add_argument("--hi", type=int, default=13)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--ctx", type=int, default=0,
+        help="override per-seq context length (randomized block tables)",
+    )
+    p.add_argument(
+        "--only", type=str, default=None,
+        help="comma list of variants to run (full,full_g7,id_attn,id_nokv,"
+        "sep_scan,fused_scan,sep_unroll,lm_head)",
+    )
     args = p.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     if args.cpu:
         import jax
@@ -89,6 +102,7 @@ def main():
     eps = tcfg.rms_norm_eps
 
     rng = np.random.default_rng(0)
+    rng_bt = np.random.default_rng(1)
     for _ in range(b):
         prompt = rng.integers(2, 32766, 64).tolist()
         engine.add_request(
@@ -100,6 +114,16 @@ def main():
     for s_ in seqs:
         s_.max_tokens = 2**30
     state = engine.orchestrator._build_fused_state(seqs, lambda s: max_len - 80)
+    if args.ctx:
+        # steady-state context: distinct random block ids per sequence so
+        # the attention kernels pay the real per-block DMA traffic
+        nb = engine.orchestrator.fused.target.num_blocks
+        m = np.asarray(state["bt_t"]).shape[1]
+        bt = np.stack(
+            [rng_bt.choice(nb, size=m, replace=False) for _ in range(b)]
+        ).astype(np.int32)
+        state["bt_t"] = jnp.asarray(bt)
+        state["length"] = jnp.full((b,), args.ctx, jnp.int32)
     tokens, length, bt_t = state["tokens"], state["length"], state["bt_t"]
     num_input = jnp.full((b,), gamma, jnp.int32)
 
@@ -143,7 +167,29 @@ def main():
         )
         return kv2, c + logits.mean()
 
-    results["full"] = timed(body_full, (target.kv, jnp.float32(0)), None)
+    if want("full"):
+        results["full"] = timed(body_full, (target.kv, jnp.float32(0)), None)
+
+    # slope probe: same engine, smaller packed window -> separates the
+    # per-row cost from the per-forward fixed cost
+    if want("full_g7"):
+        g2 = max(1, gamma // 2)
+        ni2 = jnp.full((b,), g2, jnp.int32)
+
+        def body_full_g2(carry, _):
+            kv, c = carry
+            kv2, logits = fused._target_packed(
+                target.params, target.rope_table, kv, tokens, length, ni2,
+                bt_t, g2,
+            )
+            return kv2, c + logits.mean()
+
+        r = timed(body_full_g2, (target.kv, jnp.float32(0)), None)
+        results[f"full_g{g2}"] = r
+        if "full" in results:
+            slope = (results["full"] - r) / (b * (gamma - g2))
+            fixed = results["full"] - slope * n_rows
+            print(f"  slope {slope*1e6:.2f} us/row, fixed {fixed*1e3:.3f} ms")
 
     # ---- 2. identity attention (kv write kept)
     def _fwd_with(attn_fn, kv_write):
@@ -169,13 +215,15 @@ def main():
         return body
 
     id_attn = lambda q, cache, li, *a: q
-    results["id_attn"] = timed(
-        _fwd_with(id_attn, target._kv_write), (target.kv, jnp.float32(0)), None
-    )
-    results["id_nokv"] = timed(
-        _fwd_with(id_attn, lambda c, k, v, s, li: c),
-        (target.kv, jnp.float32(0)), None,
-    )
+    if want("id_attn"):
+        results["id_attn"] = timed(
+            _fwd_with(id_attn, target._kv_write), (target.kv, jnp.float32(0)), None
+        )
+    if want("id_nokv"):
+        results["id_nokv"] = timed(
+            _fwd_with(id_attn, lambda c, k, v, s, li: c),
+            (target.kv, jnp.float32(0)), None,
+        )
 
     # ---- GEMM-stack variants on a chained hidden carry
     layers = target.params["layers"]
@@ -211,7 +259,8 @@ def main():
         x, _ = jax.lax.scan(step, x, ls)
         return x
 
-    results["sep_scan"] = timed(body_sep_scan, x0, layers)
+    if want("sep_scan"):
+        results["sep_scan"] = timed(body_sep_scan, x0, layers)
 
     wqkv = jnp.concatenate([layers["wq"], layers["wk"], layers["wv"]], axis=2)
     wgu = jnp.concatenate([layers["wgate"], layers["wup"]], axis=2)
@@ -244,7 +293,8 @@ def main():
         x, _ = jax.lax.scan(step, x, ls)
         return x
 
-    results["fused_scan"] = timed(body_fused_scan, x0, fused_layers)
+    if want("fused_scan"):
+        results["fused_scan"] = timed(body_fused_scan, x0, fused_layers)
 
     per_layer = [
         jax.tree.map(lambda a: a[i], layers) for i in range(args.target_layers)
@@ -255,21 +305,25 @@ def main():
             x = sep_layer(x, lp)
         return x
 
-    results["sep_unroll"] = timed(body_sep_unroll, x0, per_layer)
+    if want("sep_unroll"):
+        results["sep_unroll"] = timed(body_sep_unroll, x0, per_layer)
 
     # ---- lm head alone
     def body_lm(x, _):
         logits = compute_logits(tcfg, target.params, x)
         return (x.astype(jnp.float32) + 1e-6 * logits[:, :1024]).astype(dt)
 
-    results["lm_head+chain"] = timed(body_lm, x0, None)
+    if want("lm_head"):
+        results["lm_head+chain"] = timed(body_lm, x0, None)
 
     print(f"\nrows={n_rows} layers={args.target_layers} "
           f"backend={jax.default_backend()}")
     for k, v in results.items():
         print(f"  {k:14s} {v*1e3:8.3f} ms  ({v/n_rows*1e6:6.2f} us/row)")
-    print(f"  attn-implied   {(results['full']-results['id_attn'])*1e3:8.3f} ms")
-    print(f"  kvwrite-impl   {(results['id_attn']-results['id_nokv'])*1e3:8.3f} ms")
+    if "full" in results and "id_attn" in results:
+        print(f"  attn-implied   {(results['full']-results['id_attn'])*1e3:8.3f} ms")
+    if "id_attn" in results and "id_nokv" in results:
+        print(f"  kvwrite-impl   {(results['id_attn']-results['id_nokv'])*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
