@@ -89,6 +89,10 @@ def parse_args():
         "--quant", type=str, default=None, choices=["int8", "fp8"],
         help="weight-only quantization for BOTH model groups",
     )
+    p.add_argument(
+        "--fuse-proj", action="store_true",
+        help="fused wqkv / wgate|up GEMMs (ModelConfig.fuse_proj)",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
         "--repeats", type=int, default=2,
@@ -180,6 +184,7 @@ def main():
             eos_token_id=1,
             dtype="bfloat16" if not args.cpu else "float32",
             max_position_embeddings=2048,
+            fuse_proj=args.fuse_proj,
             **{k: v for k, v in moe_fields.items() if k != "architecture"},
         )
 

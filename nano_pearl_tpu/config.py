@@ -72,6 +72,10 @@ class ModelConfig:
     dtype: str = "bfloat16"
     rope_scaling: dict | None = None
     quant: str | None = None  # None | "int8" | "fp8" (weight-only, per-out-channel)
+    # Fuse wq|wk|wv -> wqkv and wgate|wup -> wgu at engine build time
+    # (reference: QKVParallelLinear / MergedColumnParallelLinear fused
+    # weights, linear.py:92-150). Dense models, pp=1 only.
+    fuse_proj: bool = False
     kv_quant: str | None = None  # None | "int8" | "fp8" (KV cache, per-token-per-head scale)
     # Mixture-of-Experts (Qwen3-MoE / Mixtral; beyond the reference —
     # SURVEY §2.8 lists expert parallelism as absent there). num_experts=0

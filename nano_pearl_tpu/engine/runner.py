@@ -109,6 +109,29 @@ class GroupRunner:
                     lambda s: init_params(mcfg, jax.random.key(s)),
                     out_shardings=shardings,
                 )(np.int64(seed))
+        if mcfg.fuse_proj and not mcfg.is_moe and gmesh.pp_size == 1:
+            # fused qkv / gate|up projections (ModelConfig.fuse_proj):
+            # concat on device with the donated separate weights freed
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nano_pearl_tpu.models.transformer import fuse_projections
+            from nano_pearl_tpu.parallel.mesh import TP_AXIS
+
+            col = NamedSharding(gmesh.mesh, P(None, None, TP_AXIS))
+            lsh = {
+                k: v
+                for k, v in shardings["layers"].items()
+                if k not in ("wq", "wk", "wv", "wgate", "wup", "bq", "bk", "bv")
+            }
+            lsh["wqkv"] = {"q": col, "s": col} if mcfg.quant else col
+            lsh["wgu"] = {"q": col, "s": col} if mcfg.quant else col
+            if mcfg.qkv_bias:
+                lsh["bqkv"] = NamedSharding(gmesh.mesh, P(None, TP_AXIS))
+            with gmesh.mesh:
+                fused_layers = jax.jit(
+                    fuse_projections, out_shardings=lsh, donate_argnums=0
+                )(self.params["layers"])
+            self.params = dict(self.params, layers=fused_layers)
         self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
 
         # Pipeline parallelism: layer-sharded forward via shard_map

@@ -108,6 +108,36 @@ def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
     return params
 
 
+def fuse_projections(layers: dict) -> dict:
+    """Concatenate wq|wk|wv -> wqkv and wgate|wup -> wgu on the out axis
+    (``ModelConfig.fuse_proj``): one [H, Hq+2Hkv] and one [H, 2F] GEMM
+    per layer instead of three/two — the TPU analogue of the reference's
+    QKVParallelLinear / MergedColumnParallelLinear fused weights
+    (reference: nano_pearl/layers/linear.py:92-150). Plain or
+    weight-quantized ({"q","s"}) leaves; dense models only (MoE experts
+    already batch their FFN GEMMs on the stacked E axis)."""
+    from nano_pearl_tpu.ops.quant import is_quantized
+
+    def cat(keys):
+        vals = [layers[k] for k in keys]
+        if is_quantized(vals[0]):
+            return {
+                "q": jnp.concatenate([v["q"] for v in vals], axis=-1),
+                "s": jnp.concatenate([v["s"] for v in vals], axis=-1),
+            }
+        return jnp.concatenate(vals, axis=-1)
+
+    drop = ("wq", "wk", "wv", "wgate", "wup", "bq", "bk", "bv")
+    out = {k: v for k, v in layers.items() if k not in drop}
+    out["wqkv"] = cat(["wq", "wk", "wv"])
+    out["wgu"] = cat(["wgate", "wup"])
+    if "bq" in layers:
+        out["bqkv"] = jnp.concatenate(
+            [layers["bq"], layers["bk"], layers["bv"]], axis=-1
+        )
+    return out
+
+
 def forward(
     cfg: ModelConfig,
     params: dict,
@@ -174,11 +204,20 @@ def run_layers(
         res2 = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
         h1 = rms_norm(res2, lp["input_ln"], eps)
 
-        q = mm(h1, lp["wq"])
-        k = mm(h1, lp["wk"])
-        v = mm(h1, lp["wv"])
-        if qkv_bias:
-            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        if "wqkv" in lp:
+            qkv = mm(h1, lp["wqkv"])
+            if qkv_bias:
+                qkv = qkv + lp["bqkv"]
+            hq_w, hkv_w = n_q * d, n_kv * d
+            q = qkv[:, :hq_w]
+            k = qkv[:, hq_w : hq_w + hkv_w]
+            v = qkv[:, hq_w + hkv_w :]
+        else:
+            q = mm(h1, lp["wq"])
+            k = mm(h1, lp["wk"])
+            v = mm(h1, lp["wv"])
+            if qkv_bias:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(-1, n_q, d)
         k = k.reshape(-1, n_kv, d)
         v = v.reshape(-1, n_kv, d)
@@ -212,6 +251,13 @@ def run_layers(
                 cfg.num_experts_per_tok, cfg.norm_topk_prob,
                 cfg.valid_num_experts,
             )
+        elif "wgu" in lp:
+            gu = mm(h2, lp["wgu"])
+            f = gu.shape[-1] // 2
+            act = jax.nn.silu(gu[:, :f].astype(jnp.float32)).astype(
+                x.dtype
+            ) * gu[:, f:]
+            mlp_out = mm(act, lp["wdown"])
         else:
             act = jax.nn.silu(
                 mm(h2, lp["wgate"]).astype(jnp.float32)
