@@ -15,8 +15,15 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="nano-pearl-tpu random-prompt eval")
-    p.add_argument("--draft-model", "-d", required=True)
-    p.add_argument("--target-model", "-t", required=True)
+    p.add_argument("--draft-model", "-d", default=None)
+    p.add_argument("--target-model", "-t", default=None)
+    p.add_argument(
+        "--layer-share", action="store_true",
+        help="no checkpoints: bench.py's synthetic layer-share pair "
+        "(3L draft / 36L target, MAT == gamma at T=0)",
+    )
+    p.add_argument("--draft-layers", type=int, default=3)
+    p.add_argument("--target-layers", type=int, default=36)
     p.add_argument("--draft-tp", type=int, default=1)
     p.add_argument("--target-tp", type=int, default=1)
     p.add_argument("--input-len", type=int, default=128)
@@ -39,16 +46,41 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
 
+    dparams = tparams = None
+    if args.layer_share:
+        import bench as benchmod
+        from nano_pearl_tpu.config import ModelConfig
+
+        def mc(layers):
+            return ModelConfig(
+                architecture="LlamaForCausalLM", hidden_size=1024,
+                intermediate_size=4096, num_hidden_layers=layers,
+                num_attention_heads=16, num_key_value_heads=2,
+                vocab_size=32768, eos_token_id=1,
+                dtype="float32" if args.cpu else "bfloat16",
+                max_position_embeddings=max(2048, args.max_model_len),
+            )
+
+        draft_model, target_model = mc(args.draft_layers), mc(args.target_layers)
+        dparams, tparams = benchmod.build_layer_share_pair(
+            draft_model, target_model, args.seed
+        )
+    else:
+        assert args.draft_model and args.target_model, (
+            "--draft-model/--target-model required without --layer-share"
+        )
+        draft_model, target_model = args.draft_model, args.target_model
+
     config = PearlConfig(
-        draft_model=args.draft_model,
-        target_model=args.target_model,
+        draft_model=draft_model,
+        target_model=target_model,
         draft_tp=args.draft_tp,
         target_tp=args.target_tp,
         max_model_len=args.max_model_len,
         gamma=args.gamma,
         seed=args.seed,
     )
-    engine = PearlEngine(config)
+    engine = PearlEngine(config, draft_params=dparams, target_params=tparams)
     vocab = engine.config.target_config.valid_vocab_size
     rng = np.random.default_rng(args.seed)
 
