@@ -1,0 +1,227 @@
+"""Minimal production-style serving front-end (continuous batching).
+
+The reference engine has no server and leaves continuous batching as a
+TODO (reference: README.md:110); this exposes the engine's
+``submit``/``serve_step`` mid-flight-admission API over HTTP with only
+stdlib dependencies:
+
+  POST /generate   {"prompt": "text" | [token ids],
+                    "max_tokens": 128, "temperature": 0.0,
+                    "top_k": 0, "top_p": 1.0, "ignore_eos": false}
+                   -> {"request_id", "token_ids", "text"?, "num_tokens",
+                       "mat"} (blocks until that request finishes; other
+                       requests keep decoding in the same batch)
+  GET  /health     -> {"ok": true, "queued": N, "running": N}
+
+All engine interaction happens on ONE driver thread (JAX dispatch is
+not re-entrant); HTTP handlers enqueue work and wait on per-request
+events. Requests submitted while a batch is in flight join it at the
+next serve_step in pre-verify state — no draining.
+
+Demo (no checkpoints):  python serve.py --layer-share --cpu --port 8700
+Real checkpoints:       python serve.py -d DRAFT_DIR -t TARGET_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class PearlServer:
+    """Driver thread: owns the engine, admits queued requests, steps the
+    continuous-batching loop, resolves waiters on completion."""
+
+    def __init__(self, engine, fused_rounds: int = 8, idle_sleep: float = 0.005):
+        self.engine = engine
+        self.fused_rounds = fused_rounds
+        self.idle_sleep = idle_sleep
+        self.inbox: queue.Queue = queue.Queue()
+        self.results: dict[int, dict] = {}
+        self.events: dict[int, threading.Event] = {}
+        self.lock = threading.Lock()
+        self.queued = 0
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def generate(self, prompt, params, timeout: float | None = None) -> dict:
+        """Thread-safe: enqueue a request and block until it finishes."""
+        done = threading.Event()
+        self.inbox.put((prompt, params, done))
+        with self.lock:
+            self.queued += 1
+        if not done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return self.results.pop(done.seq_id)  # type: ignore[attr-defined]
+
+    def stats(self) -> dict:
+        with self.lock:
+            return {
+                "ok": True,
+                "queued": self.queued,
+                "running": len(self.engine.scheduler.running),
+            }
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=10)
+
+    # ------------------------------------------------------ driver thread
+
+    def _admit(self):
+        admitted = False
+        while True:
+            try:
+                prompt, params, done = self.inbox.get_nowait()
+            except queue.Empty:
+                return admitted
+            seq_id = self.engine.submit(prompt, params)
+            done.seq_id = seq_id  # route the result back to this waiter
+            self.events[seq_id] = done
+            with self.lock:
+                self.queued -= 1
+            admitted = True
+
+    def _run(self):
+        while not self._stop.is_set():
+            self._admit()
+            if not self.engine.has_work:
+                time.sleep(self.idle_sleep)
+                continue
+            for seq_id, token_ids, num_acc in self.engine.serve_step(self.fused_rounds):
+                result = {
+                    "request_id": seq_id,
+                    "token_ids": token_ids,
+                    "num_tokens": len(token_ids),
+                    "mat": round(sum(num_acc) / max(1, len(num_acc)), 2),
+                }
+                if self.engine.tokenizer is not None:
+                    result["text"] = self.engine.tokenizer.decode(token_ids)
+                event = self.events.pop(seq_id, None)
+                if event is not None:
+                    self.results[seq_id] = result
+                    event.set()
+
+
+def make_handler(server: PearlServer):
+    from nano_pearl_tpu.config import SamplingParams
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._reply(200, server.stats())
+            return self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                params = SamplingParams(
+                    temperature=float(req.get("temperature", 0.0)),
+                    max_tokens=int(req.get("max_tokens", 128)),
+                    ignore_eos=bool(req.get("ignore_eos", False)),
+                    top_k=int(req.get("top_k", 0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                )
+                result = server.generate(req["prompt"], params)
+                return self._reply(200, result)
+            except Exception as e:  # surface errors to the client
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_engine(args):
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import PearlConfig
+
+    dparams = tparams = None
+    if args.layer_share:
+        import bench as benchmod
+        from nano_pearl_tpu.config import ModelConfig
+
+        def mc(layers):
+            return ModelConfig(
+                architecture="LlamaForCausalLM", hidden_size=1024,
+                intermediate_size=4096, num_hidden_layers=layers,
+                num_attention_heads=16, num_key_value_heads=2,
+                vocab_size=32768, eos_token_id=1,
+                dtype="float32" if args.cpu else "bfloat16",
+                max_position_embeddings=max(2048, args.max_model_len),
+            )
+
+        draft, target = mc(args.draft_layers), mc(args.target_layers)
+        dparams, tparams = benchmod.build_layer_share_pair(draft, target, args.seed)
+    else:
+        assert args.draft_model and args.target_model, (
+            "--draft-model/--target-model required without --layer-share"
+        )
+        draft, target = args.draft_model, args.target_model
+
+    cfg = PearlConfig(
+        draft_model=draft, target_model=target,
+        draft_tp=args.draft_tp, target_tp=args.target_tp,
+        max_model_len=args.max_model_len, gamma=args.gamma, seed=args.seed,
+    )
+    return PearlEngine(cfg, draft_params=dparams, target_params=tparams)
+
+
+def main():
+    p = argparse.ArgumentParser(description="nano-pearl-tpu HTTP server")
+    p.add_argument("--draft-model", "-d", default=None)
+    p.add_argument("--target-model", "-t", default=None)
+    p.add_argument("--layer-share", action="store_true")
+    p.add_argument("--draft-layers", type=int, default=3)
+    p.add_argument("--target-layers", type=int, default=36)
+    p.add_argument("--draft-tp", type=int, default=1)
+    p.add_argument("--target-tp", type=int, default=1)
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--gamma", type=int, default=8)
+    p.add_argument("--fused-rounds", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    engine = build_engine(args)
+    server = PearlServer(engine, fused_rounds=args.fused_rounds)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving on http://{args.host}:{args.port}  (POST /generate, GET /health)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""HTTP serving front-end (serve.py) over the continuous-batching API."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+from nano_pearl_tpu import PearlEngine
+from nano_pearl_tpu.config import SamplingParams
+
+from helpers import tiny_pearl_config
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_http_server_round_trip():
+    import serve as serve_mod
+
+    # reference outputs from a plain engine at the same config/seed
+    ref = PearlEngine(tiny_pearl_config())
+    ref.add_request([1, 2, 3, 4, 5], SamplingParams(temperature=0.0, max_tokens=12))
+    want, *_ = ref.generate_token_ids()
+
+    engine = PearlEngine(tiny_pearl_config())
+    server = serve_mod.PearlServer(engine, fused_rounds=4)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as r:
+            assert json.loads(r.read())["ok"]
+
+        # two concurrent requests share the continuous batch
+        results = {}
+
+        def call(name, prompt, n):
+            results[name] = _post(
+                port, {"prompt": prompt, "max_tokens": n, "temperature": 0.0}
+            )
+
+        t1 = threading.Thread(target=call, args=("a", [1, 2, 3, 4, 5], 12))
+        t2 = threading.Thread(target=call, args=("b", [7, 8, 9], 9))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+        assert results["a"]["token_ids"] == want[0]
+        assert results["a"]["num_tokens"] == 12
+        assert results["b"]["num_tokens"] <= 9
+        # missing prompt -> HTTP 400 with a JSON error body
+        try:
+            _post(port, {"max_tokens": 4})
+            raise AssertionError("missing prompt should be a 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
+        server.stop()
