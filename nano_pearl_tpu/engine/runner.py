@@ -173,6 +173,23 @@ class GroupRunner:
                 sp_paged_attention_grouped, mesh, scale=self.scale
             )
             self._kv_write = partial(sp_write_kv, mesh)
+        elif self.use_pallas and gmesh.tp_size > 1:
+            # Pallas kernels under tp: GSPMD cannot partition the opaque
+            # pallas_call (it would all-gather and replicate it), but
+            # attention is head-local — shard_map over tp runs each
+            # shard's kernel on its local heads (parallel/tp_attn.py)
+            from nano_pearl_tpu.parallel.tp_attn import (
+                tp_paged_attention,
+                tp_paged_attention_grouped,
+            )
+
+            mesh = gmesh.mesh
+            self._attn_decode = partial(tp_paged_attention, mesh, scale=self.scale)
+            self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
+            self._attn_grouped = partial(
+                tp_paged_attention_grouped, mesh, scale=self.scale
+            )
+            self._kv_write = write_kv
         else:
             self._attn_decode = partial(
                 paged_attention, scale=self.scale, use_pallas=self.use_pallas
@@ -185,9 +202,16 @@ class GroupRunner:
         # fresh-KV prefill self-attention (no cache READ — valid whenever
         # no admitted sequence has prefix-cache hits; cache-free, so it
         # composes with sp/pp/union unchanged)
-        self._attn_prefill_self = partial(
-            prefill_self_attention, scale=self.scale, use_pallas=self.use_pallas
-        )
+        if self.use_pallas and gmesh.tp_size > 1 and gmesh.sp_size == 1:
+            from nano_pearl_tpu.parallel.tp_attn import tp_prefill_self_attention
+
+            self._attn_prefill_self = partial(
+                tp_prefill_self_attention, gmesh.mesh, scale=self.scale
+            )
+        else:
+            self._attn_prefill_self = partial(
+                prefill_self_attention, scale=self.scale, use_pallas=self.use_pallas
+            )
         self._attn_prefill_self.wants_fresh_kv = True
         # prefix-hit prefill: fresh-KV self-attention merged with a
         # PRE-GATHERED cached prefix (no cache read inside the layer scan
