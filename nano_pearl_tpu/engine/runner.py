@@ -167,10 +167,14 @@ class GroupRunner:
             )
 
             mesh = gmesh.mesh
-            self._attn_decode = partial(sp_paged_attention, mesh, scale=self.scale)
+            self._attn_decode = partial(
+                sp_paged_attention, mesh, scale=self.scale,
+                use_pallas=self.use_pallas,
+            )
             self._attn_prefill = partial(sp_prefill_attention, mesh, scale=self.scale)
             self._attn_grouped = partial(
-                sp_paged_attention_grouped, mesh, scale=self.scale
+                sp_paged_attention_grouped, mesh, scale=self.scale,
+                use_pallas=self.use_pallas,
             )
             self._kv_write = partial(sp_write_kv, mesh)
         elif self.use_pallas and gmesh.tp_size > 1:

@@ -314,6 +314,191 @@ def _grouped_kernel_q8(
         _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
+# ----------------------------------------------- partial-output kernels
+#
+# Sequence parallelism (parallel/sp.py) shards the cache's block axis:
+# each shard computes flash statistics over its LOCAL blocks only and
+# the shards' partials are merged outside (o = sum o_i * w_i / sum w_i,
+# w_i = l_i * exp(m_i - max m)). These kernel variants therefore
+# (a) take an extra scalar-prefetched is_local[.., M] slot mask — a
+#     non-local table slot is skipped exactly like a past-context slot
+#     (compute AND, via the pre-clamped tables the sp wrapper builds,
+#     its HBM->VMEM copy), and
+# (b) emit (o_local, m, l) instead of a normalized-only output; the
+#     running max is floored (M_FLOOR) so shards with no local visible
+#     key contribute l = 0, never NaN.
+
+M_FLOOR = -1e29
+
+
+def _init_scratch_floor(m_scr, l_scr, acc_scr):
+    m_scr[...] = jnp.full_like(m_scr, M_FLOOR)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+
+def _sr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr):
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+    m_ref[0, :] = m_scr[:, 0]
+    l_ref[0, :] = l_scr[:, 0]
+
+
+def _gr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, num_kv_heads):
+    r, hq, d = o_ref.shape
+    g = hq // num_kv_heads
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    out = acc_scr[...] / denom  # [Hkv*R*G, D], layout [kh, r, j]
+    m_all = m_scr[...]
+    l_all = l_scr[...]
+    for kh in range(num_kv_heads):
+        sl = (kh * r * g, (kh + 1) * r * g)
+        o_ref[:, kh * g : (kh + 1) * g, :] = (
+            jax.lax.slice(out, (sl[0], 0), (sl[1], d)).reshape(r, g, d)
+            .astype(o_ref.dtype)
+        )
+        m_ref[:, kh * g : (kh + 1) * g] = jax.lax.slice(
+            m_all, (sl[0], 0), (sl[1], 1)
+        ).reshape(r, g)
+        l_ref[:, kh * g : (kh + 1) * g] = jax.lax.slice(
+            l_all, (sl[0], 0), (sl[1], 1)
+        ).reshape(r, g)
+
+
+def _kernel_partial(
+    bt_k_ref, bt_v_ref, context_lens_ref, is_local_ref,  # scalar prefetch
+    q_ref, k_ref, v_ref,
+    o_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    n = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+    ctx = context_lens_ref[n]
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch_floor(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+
+    @pl.when((block_start < ctx) & (is_local_ref[n, m] != 0))
+    def _compute():
+        _sr_update(
+            q_ref[0], k_ref[0], v_ref[0], ctx, block_start,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        _sr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr)
+
+
+def _kernel_partial_q8(
+    bt_k_ref, bt_v_ref, context_lens_ref, is_local_ref,
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,
+    o_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    n = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+    ctx = context_lens_ref[n]
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch_floor(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+
+    @pl.when((block_start < ctx) & (is_local_ref[n, m] != 0))
+    def _compute():
+        dt = q_ref.dtype
+        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
+        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
+        _sr_update(
+            q_ref[0], k, v, ctx, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        _sr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr)
+
+
+def _grouped_kernel_partial(
+    bt_k_ref, bt_v_ref, context_lens_ref, is_local_ref,
+    q_ref, k_ref, v_ref,
+    o_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    bi = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch_floor(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+
+    @pl.when((block_start < ctx_max) & (is_local_ref[bi, m] != 0))
+    def _compute():
+        _gr_update(
+            q_ref[...], k_ref[0], v_ref[0],
+            ctx_rows, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        _gr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, num_kv_heads)
+
+
+def _grouped_kernel_partial_q8(
+    bt_k_ref, bt_v_ref, context_lens_ref, is_local_ref,
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,
+    o_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    bi = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _init():
+        _init_scratch_floor(m_scr, l_scr, acc_scr)
+
+    block_start = m * block_size
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+
+    @pl.when((block_start < ctx_max) & (is_local_ref[bi, m] != 0))
+    def _compute():
+        dt = q_ref.dtype
+        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
+        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
+        _gr_update(
+            q_ref[...], k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    @pl.when(m == num_m - 1)
+    def _finalize():
+        _gr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, num_kv_heads)
+
+
 # ------------------------------------------------------------- dispatch
 
 
@@ -410,6 +595,171 @@ def paged_attention_pallas_grouped(
         out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, *inputs)
+
+
+def paged_attention_pallas_partials(
+    q: jax.Array,  # [N, Hq, D]
+    cache,  # LOCAL cache shard [L, 2, NB_loc, BS, Hkv, D] or int8 pytree
+    layer_idx,
+    block_tables: jax.Array,  # [N, M] LOCAL block ids (pre-clamped by caller)
+    context_lens: jax.Array,  # [N]
+    is_local: jax.Array,  # [N, M] int32: 1 = slot belongs to this shard
+    scale: float,
+    interpret: bool = False,
+):
+    """Flash partials over this shard's blocks: (o_local, m, l) for the
+    cross-shard softmax merge (parallel/sp.py)."""
+    n, hq, d = q.shape
+    m = block_tables.shape[1]
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, block_tables
+    )
+
+    def _mi_eff(ni, mi, cl):
+        return jnp.minimum(mi, jnp.maximum(cl[ni] - 1, 0) // bs)
+
+    q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl, loc: (ni, 0, 0))
+    blk_k = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda ni, mi, btk, btv, cl, loc: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+    )
+    blk_v = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda ni, mi, btk, btv, cl, loc: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+    )
+    if scales is None:
+        in_specs = [q_spec, blk_k, blk_v]
+        inputs = (q, blocks, blocks)
+        kernel = functools.partial(
+            _kernel_partial, scale=scale, block_size=bs, num_kv_heads=hkv
+        )
+    else:
+        s_k = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda ni, mi, btk, btv, cl, loc: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
+        )
+        s_v = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda ni, mi, btk, btv, cl, loc: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
+        )
+        in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
+        inputs = (q, blocks, scales, blocks, scales)
+        kernel = functools.partial(
+            _kernel_partial_q8, scale=scale, block_size=bs, num_kv_heads=hkv
+        )
+
+    row_spec = pl.BlockSpec((1, hq), lambda ni, mi, btk, btv, cl, loc: (ni, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n, m),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl, loc: (ni, 0, 0)),
+            row_spec,
+            row_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, is_local.astype(jnp.int32), *inputs)
+
+
+def paged_attention_pallas_grouped_partials(
+    q: jax.Array,  # [B*R, Hq, D]
+    cache,  # LOCAL cache shard
+    layer_idx,
+    group_tables: jax.Array,  # [B, M] LOCAL block ids (pre-clamped)
+    context_lens: jax.Array,  # [B*R]
+    is_local: jax.Array,  # [B, M]
+    scale: float,
+    rows_per_group: int,
+    interpret: bool = False,
+):
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    m = group_tables.shape[1]
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, group_tables
+    )
+    g = hq // hkv
+
+    def _mi_eff(bi, mi, cl):
+        ctx_max = cl[bi * r]
+        for i in range(1, r):
+            ctx_max = jnp.maximum(ctx_max, cl[bi * r + i])
+        return jnp.minimum(mi, jnp.maximum(ctx_max - 1, 0) // bs)
+
+    q_spec = pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl, loc: (bi, 0, 0))
+    blk_k = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda bi, mi, btk, btv, cl, loc: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+    )
+    blk_v = pl.BlockSpec(
+        (1, bs, hkv, d),
+        lambda bi, mi, btk, btv, cl, loc: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+    )
+    if scales is None:
+        in_specs = [q_spec, blk_k, blk_v]
+        inputs = (q, blocks, blocks)
+        kernel = functools.partial(
+            _grouped_kernel_partial, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r,
+        )
+    else:
+        s_k = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda bi, mi, btk, btv, cl, loc: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
+        )
+        s_v = pl.BlockSpec(
+            (1, bs, hkv),
+            lambda bi, mi, btk, btv, cl, loc: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
+        )
+        in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
+        inputs = (q, blocks, scales, blocks, scales)
+        kernel = functools.partial(
+            _grouped_kernel_partial_q8, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r,
+        )
+
+    row_spec = pl.BlockSpec((r, hq), lambda bi, mi, btk, btv, cl, loc: (bi, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, m),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl, loc: (bi, 0, 0)),
+            row_spec,
+            row_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, is_local.astype(jnp.int32), *inputs)
 
 
 def paged_attention_pallas(

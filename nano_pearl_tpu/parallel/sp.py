@@ -118,6 +118,30 @@ def _local_kv(cache, layer_idx, tables):
     return k, v, is_local
 
 
+def _dma_friendly_local_tables(tables, base, nb1_local):
+    """(eff_tables, is_local): global ids localized to this shard; a
+    non-local slot repeats the row's previous LOCAL block id so the
+    Pallas pipeline sees an unchanged index and elides its HBM->VMEM
+    copy (compute for the slot is skipped via the is_local prefetch)."""
+    m = tables.shape[1]
+    is_local = (tables >= base) & (tables < base + nb1_local)
+    local = jnp.clip(tables - base, 0, nb1_local - 1)
+    midx = jnp.where(is_local, jnp.arange(m, dtype=jnp.int32)[None, :], -1)
+    last = jax.lax.cummax(midx, axis=1)
+    eff = jnp.take_along_axis(local, jnp.clip(last, 0), axis=1)
+    return eff, is_local
+
+
+def _merge_partials(o, m_loc, l_loc, dtype):
+    """Cross-shard softmax merge of (o_local, m, l) flash partials —
+    identical math to the prefix-merge in ops/attention.py."""
+    m_glob = jax.lax.pmax(m_loc, SP_AXIS)
+    w = l_loc * jnp.exp(m_loc - m_glob)
+    num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], SP_AXIS)
+    den = jax.lax.psum(w, SP_AXIS)
+    return (num / jnp.maximum(den, 1e-30)[..., None]).astype(dtype)
+
+
 def sp_paged_attention(
     mesh,
     q: jax.Array,  # [N, Hq, D]
@@ -126,10 +150,35 @@ def sp_paged_attention(
     block_tables: jax.Array,  # [N, M] global block ids
     context_lens: jax.Array,  # [N]
     scale: float,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Sequence-parallel decode/verify attention (per-token context
     lens), exact-match semantics with ``ops.attention.paged_attention_jnp``
-    (tests/test_sp.py asserts bitwise-close equality)."""
+    (tests/test_sp.py asserts bitwise-close equality). With
+    ``use_pallas`` each shard runs the flash kernel over its local
+    blocks and exports (o, m, l) partials for the cross-shard merge."""
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import (
+            paged_attention_pallas_partials,
+        )
+
+        def pbody(q, cache, layer_idx, tables, ctx):
+            base, nb1_local = _local_block_range(cache)
+            eff, is_local = _dma_friendly_local_tables(tables, base, nb1_local)
+            o, m_loc, l_loc = paged_attention_pallas_partials(
+                q, cache, layer_idx, eff, ctx, is_local, scale,
+                interpret=interpret,
+            )
+            return _merge_partials(o, m_loc, l_loc, q.dtype)
+
+        return jax.shard_map(
+            pbody,
+            mesh=mesh,
+            in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+            out_specs=P(None, TP_AXIS, None),
+            check_vma=False,
+        )(q, cache, layer_idx, block_tables, context_lens)
 
     def body(q, cache, layer_idx, tables, ctx):
         n, hq, d = q.shape
@@ -203,11 +252,35 @@ def sp_prefill_attention(
 
 
 def sp_paged_attention_grouped(
-    mesh, q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group
+    mesh, q, cache, layer_idx, group_tables, context_lens, scale,
+    rows_per_group, use_pallas: bool = False, interpret: bool = False,
 ):
-    """Packed-verify attention under sp: expand the per-sequence tables
-    to per-row and reuse the decode path (the Pallas DMA-amortized
-    grouped kernel is a non-sp optimization; sp uses the jnp body)."""
+    """Packed-verify attention under sp. With ``use_pallas`` the
+    DMA-amortized grouped flash kernel runs per shard and the partials
+    merge across sp; jnp path expands tables per-row and reuses the
+    decode body."""
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import (
+            paged_attention_pallas_grouped_partials,
+        )
+
+        def pbody(q, cache, layer_idx, tables, ctx):
+            base, nb1_local = _local_block_range(cache)
+            eff, is_local = _dma_friendly_local_tables(tables, base, nb1_local)
+            o, m_loc, l_loc = paged_attention_pallas_grouped_partials(
+                q, cache, layer_idx, eff, ctx, is_local, scale,
+                rows_per_group, interpret=interpret,
+            )
+            return _merge_partials(o, m_loc, l_loc, q.dtype)
+
+        return jax.shard_map(
+            pbody,
+            mesh=mesh,
+            in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+            out_specs=P(None, TP_AXIS, None),
+            check_vma=False,
+        )(q, cache, layer_idx, group_tables, context_lens)
+
     bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
     return sp_paged_attention(
         mesh, q, cache, layer_idx, bt_rows, context_lens, scale

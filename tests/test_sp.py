@@ -142,3 +142,40 @@ def test_sp_engine_matches_plain_engine():
     sp_out, sp_n = run(draft_sp=2, target_sp=2, num_kvcache_blocks=95)
     assert sp_out == base_out
     assert sp_n == base_n
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_sp_decode_attention_pallas_partials(quant):
+    """Pallas partial kernels + cross-shard merge == jnp reference."""
+    mesh = _mesh(2, 2)
+    plain, sharded = _cache_pair(mesh, quant)
+    n, m = 5, 4
+    q = jax.random.normal(jax.random.key(7), (n, HQ, D), jnp.float32)
+    bt = jax.random.randint(jax.random.key(8), (n, m), 0, NB, jnp.int32)
+    ctx = jnp.array([1, 3, 9, 16, 14], jnp.int32)
+    ref = paged_attention_jnp(q, plain, jnp.int32(1), bt, ctx, SCALE)
+    got = sp_paged_attention(
+        mesh, q, sharded, jnp.int32(1), bt, ctx, SCALE,
+        use_pallas=True, interpret=True,
+    )
+    tol = 1e-5 if quant is None else 3e-3
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_sp_grouped_attention_pallas_partials(quant):
+    mesh = _mesh(2, 2)
+    plain, sharded = _cache_pair(mesh, quant)
+    b, g, m = 2, 3, 4
+    q = jax.random.normal(jax.random.key(11), (b * g, HQ, D), jnp.float32)
+    gt = jax.random.randint(jax.random.key(12), (b, m), 0, NB, jnp.int32)
+    ctx = jnp.array([4, 5, 6, 9, 10, 11], jnp.int32)
+    ref = paged_attention_grouped(
+        q, plain, jnp.int32(1), gt, ctx, SCALE, rows_per_group=g, use_pallas=False
+    )
+    got = sp_paged_attention_grouped(
+        mesh, q, sharded, jnp.int32(1), gt, ctx, SCALE, rows_per_group=g,
+        use_pallas=True, interpret=True,
+    )
+    tol = 1e-5 if quant is None else 3e-3
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=tol, atol=tol)
