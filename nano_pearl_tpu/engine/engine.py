@@ -164,6 +164,12 @@ class PearlEngine:
         self.scheduler.finished.clear()
         return done
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort a queued or in-flight request; its KV blocks are freed
+        and its partial output discarded. Safe between serve_steps (the
+        fused state is rebuilt from the scheduler each round)."""
+        return self.scheduler.cancel(request_id)
+
     @property
     def has_work(self) -> bool:
         return not self.scheduler.is_finished()

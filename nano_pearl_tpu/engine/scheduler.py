@@ -112,6 +112,26 @@ class Scheduler:
         self.running.remove(seq)
         self.waiting.appendleft(seq)
 
+    def cancel(self, seq_id: int) -> bool:
+        """Abort a request by id (serving control-plane; beyond the
+        reference, which has no cancellation). Waiting sequences are
+        dropped outright; running sequences release their KV blocks.
+        The sequence is NOT added to ``finished`` — its partial output
+        is discarded."""
+        for seq in self.waiting:
+            if seq.seq_id == seq_id:
+                seq.status = SequenceStatus.FINISHED
+                self.waiting.remove(seq)
+                return True
+        for seq in self.running:
+            if seq.seq_id == seq_id:
+                seq.status = SequenceStatus.FINISHED
+                self.draft_bm.deallocate(seq.draft)
+                self.target_bm.deallocate(seq.target)
+                self.running.remove(seq)
+                return True
+        return False
+
     def finish(self, seq: Sequence):
         seq.status = SequenceStatus.FINISHED
         self.draft_bm.deallocate(seq.draft)

@@ -7,10 +7,17 @@ stdlib dependencies:
 
   POST /generate   {"prompt": "text" | [token ids],
                     "max_tokens": 128, "temperature": 0.0,
-                    "top_k": 0, "top_p": 1.0, "ignore_eos": false}
+                    "top_k": 0, "top_p": 1.0, "ignore_eos": false,
+                    "blocking": true}
                    -> {"request_id", "token_ids", "text"?, "num_tokens",
                        "mat"} (blocks until that request finishes; other
-                       requests keep decoding in the same batch)
+                       requests keep decoding in the same batch).
+                   With "blocking": false -> {"request_id"} as soon as
+                   the request is admitted; collect with /result.
+  GET  /result?request_id=N -> blocks until that request finishes
+  POST /cancel     {"request_id": N} -> {"cancelled": bool} — aborts a
+                   queued or in-flight request; its waiter gets
+                   {"cancelled": true}
   GET  /health     -> {"ok": true, "queued": N, "running": N}
 
 All engine interaction happens on ONE driver thread (JAX dispatch is
@@ -41,6 +48,7 @@ class PearlServer:
         self.fused_rounds = fused_rounds
         self.idle_sleep = idle_sleep
         self.inbox: queue.Queue = queue.Queue()
+        self.cancel_box: queue.Queue = queue.Queue()
         self.results: dict[int, dict] = {}
         self.events: dict[int, threading.Event] = {}
         self.lock = threading.Lock()
@@ -49,15 +57,40 @@ class PearlServer:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def generate(self, prompt, params, timeout: float | None = None) -> dict:
-        """Thread-safe: enqueue a request and block until it finishes."""
+    def submit_async(self, prompt, params, timeout: float = 60.0) -> int:
+        """Thread-safe: enqueue a request, return its id at admission."""
+        admitted = threading.Event()
         done = threading.Event()
-        self.inbox.put((prompt, params, done))
+        self.inbox.put((prompt, params, done, admitted))
         with self.lock:
             self.queued += 1
-        if not done.wait(timeout):
+        if not admitted.wait(timeout):
+            raise TimeoutError("admission timed out")
+        if getattr(done, "error", None):
+            raise ValueError(done.error)
+        return done.seq_id  # type: ignore[attr-defined]
+
+    def result(self, request_id: int, timeout: float | None = None) -> dict:
+        """Block until the request finishes (or was cancelled)."""
+        ev = self.events.get(request_id)
+        if ev is None:
+            if request_id in self.results:
+                return self.results.pop(request_id)
+            raise KeyError(f"unknown request {request_id}")
+        if not ev.wait(timeout):
             raise TimeoutError("generation timed out")
-        return self.results.pop(done.seq_id)  # type: ignore[attr-defined]
+        return self.results.pop(request_id)
+
+    def generate(self, prompt, params, timeout: float | None = None) -> dict:
+        """Thread-safe: enqueue a request and block until it finishes."""
+        return self.result(self.submit_async(prompt, params), timeout)
+
+    def cancel(self, request_id: int, timeout: float = 30.0) -> bool:
+        """Thread-safe: ask the driver thread to abort a request."""
+        done = threading.Event()
+        self.cancel_box.put((request_id, done))
+        done.wait(timeout)
+        return bool(getattr(done, "cancelled", False))
 
     def stats(self) -> dict:
         with self.lock:
@@ -74,22 +107,49 @@ class PearlServer:
     # ------------------------------------------------------ driver thread
 
     def _admit(self):
-        admitted = False
+        any_new = False
         while True:
             try:
-                prompt, params, done = self.inbox.get_nowait()
+                prompt, params, done, admitted = self.inbox.get_nowait()
             except queue.Empty:
-                return admitted
-            seq_id = self.engine.submit(prompt, params)
+                return any_new
+            try:
+                seq_id = self.engine.submit(prompt, params)
+            except Exception as e:  # bad request must not kill the driver
+                done.seq_id = -1
+                done.error = f"{type(e).__name__}: {e}"
+                admitted.set()
+                done.set()
+                with self.lock:
+                    self.queued -= 1
+                continue
             done.seq_id = seq_id  # route the result back to this waiter
             self.events[seq_id] = done
+            admitted.set()
             with self.lock:
                 self.queued -= 1
-            admitted = True
+            any_new = True
+
+    def _drain_cancels(self):
+        while True:
+            try:
+                request_id, done = self.cancel_box.get_nowait()
+            except queue.Empty:
+                return
+            done.cancelled = self.engine.cancel(request_id)
+            if done.cancelled:
+                waiter = self.events.pop(request_id, None)
+                if waiter is not None:
+                    self.results[request_id] = {
+                        "request_id": request_id, "cancelled": True,
+                    }
+                    waiter.set()
+            done.set()
 
     def _run(self):
         while not self._stop.is_set():
             self._admit()
+            self._drain_cancels()
             if not self.engine.has_work:
                 time.sleep(self.idle_sleep)
                 continue
@@ -126,9 +186,27 @@ def make_handler(server: PearlServer):
         def do_GET(self):
             if self.path == "/health":
                 return self._reply(200, server.stats())
+            if self.path.startswith("/result"):
+                from urllib.parse import parse_qs, urlparse
+
+                try:
+                    rid = int(parse_qs(urlparse(self.path).query)["request_id"][0])
+                    return self._reply(200, server.result(rid, timeout=600))
+                except KeyError:
+                    return self._reply(404, {"error": "unknown request_id"})
+                except Exception as e:
+                    return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             return self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/cancel":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    ok = server.cancel(int(req["request_id"]))
+                    return self._reply(200, {"cancelled": ok})
+                except Exception as e:
+                    return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             if self.path != "/generate":
                 return self._reply(404, {"error": "unknown path"})
             try:
@@ -141,8 +219,11 @@ def make_handler(server: PearlServer):
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
                 )
-                result = server.generate(req["prompt"], params)
-                return self._reply(200, result)
+                if req.get("blocking", True):
+                    result = server.generate(req["prompt"], params)
+                    return self._reply(200, result)
+                rid = server.submit_async(req["prompt"], params)
+                return self._reply(200, {"request_id": rid})
             except Exception as e:  # surface errors to the client
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -69,3 +69,63 @@ def test_http_server_round_trip():
     finally:
         httpd.shutdown()
         server.stop()
+
+
+def test_engine_cancel_frees_blocks():
+    eng = PearlEngine(tiny_pearl_config())
+    free0_d = eng.scheduler.draft_bm.num_free_blocks
+    free0_t = eng.scheduler.target_bm.num_free_blocks
+    a = eng.submit([1, 2, 3, 4, 5], SamplingParams(temperature=0.0, max_tokens=40))
+    b = eng.submit([7, 8, 9], SamplingParams(temperature=0.0, max_tokens=10))
+    eng.serve_step(2)  # both admitted + some rounds
+    assert eng.cancel(a)
+    assert not eng.cancel(a)  # already gone
+    out = []
+    while eng.has_work:
+        out += eng.serve_step(2)
+    ids = [o[0] for o in out]
+    assert ids == [b]  # cancelled request never reported
+    assert eng.scheduler.draft_bm.num_free_blocks == free0_d
+    assert eng.scheduler.target_bm.num_free_blocks == free0_t
+    # cancel of a WAITING (never admitted) request
+    c = eng.submit([4, 5, 6], SamplingParams(temperature=0.0, max_tokens=10))
+    assert eng.cancel(c)
+    assert not eng.has_work
+
+
+def test_http_async_and_cancel():
+    import serve as serve_mod
+
+    engine = PearlEngine(tiny_pearl_config())
+    server = serve_mod.PearlServer(engine, fused_rounds=2)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        sub = _post(port, {"prompt": [1, 2, 3, 4, 5], "max_tokens": 10,
+                           "blocking": False})
+        rid = sub["request_id"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/result?request_id={rid}", timeout=120
+        ) as r:
+            res = json.loads(r.read())
+        assert res["num_tokens"] == 10
+
+        # async submit then cancel; /result reports cancellation
+        sub2 = _post(port, {"prompt": [9, 9, 9], "max_tokens": 200,
+                            "ignore_eos": True, "blocking": False})
+        rid2 = sub2["request_id"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/cancel",
+            data=json.dumps({"request_id": rid2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["cancelled"] is True
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/result?request_id={rid2}", timeout=60
+        ) as r:
+            assert json.loads(r.read())["cancelled"] is True
+    finally:
+        httpd.shutdown()
+        server.stop()
