@@ -54,6 +54,8 @@ class PearlEngine:
         self.scheduler = Scheduler(config, self.draft.num_blocks, self.target.num_blocks)
         self.orchestrator = PearlOrchestrator(config, self.draft, self.target, self.scheduler)
         self.tokenizer = self._maybe_tokenizer()
+        self._completed_requests = 0
+        self._completed_tokens = 0
         if config.gamma == -1:
             self.orchestrator.auto_set_gamma()
         logger.info("PearlEngine ready.", color="green")
@@ -161,6 +163,8 @@ class PearlEngine:
         done = []
         for seq in self.scheduler.finished:
             done.append((seq.seq_id, seq.completion_token_ids, list(seq.num_acc_tokens)))
+            self._completed_requests += 1
+            self._completed_tokens += len(done[-1][1])
         self.scheduler.finished.clear()
         return done
 
@@ -169,6 +173,20 @@ class PearlEngine:
         and its partial output discarded. Safe between serve_steps (the
         fused state is rebuilt from the scheduler each round)."""
         return self.scheduler.cancel(request_id)
+
+    def stats(self) -> dict:
+        """Serving observability snapshot: queue/batch occupancy, KV
+        block pools, and cumulative completion counters (beyond the
+        reference, which only returns per-call tuples)."""
+        sch = self.scheduler
+        return {
+            "waiting": len(sch.waiting),
+            "running": len(sch.running),
+            "draft_free_blocks": sch.draft_bm.num_free_blocks,
+            "target_free_blocks": sch.target_bm.num_free_blocks,
+            "completed_requests": self._completed_requests,
+            "completed_tokens": self._completed_tokens,
+        }
 
     @property
     def has_work(self) -> bool:

@@ -94,11 +94,9 @@ class PearlServer:
 
     def stats(self) -> dict:
         with self.lock:
-            return {
-                "ok": True,
-                "queued": self.queued,
-                "running": len(self.engine.scheduler.running),
-            }
+            out = {"ok": True, "queued": self.queued}
+        out.update(self.engine.stats())  # snapshot; read-only race is fine
+        return out
 
     def stop(self):
         self._stop.set()

@@ -129,3 +129,18 @@ def test_http_async_and_cancel():
     finally:
         httpd.shutdown()
         server.stop()
+
+
+def test_engine_stats_counters():
+    eng = PearlEngine(tiny_pearl_config())
+    s0 = eng.stats()
+    assert s0["completed_requests"] == 0 and s0["waiting"] == 0
+    eng.submit([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=8))
+    assert eng.stats()["waiting"] == 1
+    while eng.has_work:
+        eng.serve_step(2)
+    s1 = eng.stats()
+    assert s1["completed_requests"] == 1
+    assert s1["completed_tokens"] == 8
+    assert s1["running"] == 0
+    assert s1["draft_free_blocks"] == s0["draft_free_blocks"]
