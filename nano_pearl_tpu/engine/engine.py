@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from nano_pearl_tpu.config import PearlConfig, SamplingParams
 from nano_pearl_tpu.engine.pearl import PearlOrchestrator
 from nano_pearl_tpu.engine.runner import GroupRunner
 from nano_pearl_tpu.engine.scheduler import Scheduler
-from nano_pearl_tpu.engine.sequence import Sequence, SequenceStatus
+from nano_pearl_tpu.engine.sequence import Sequence
 from nano_pearl_tpu.parallel.mesh import build_group_meshes
 from nano_pearl_tpu.utils.logging import logger
 

@@ -38,7 +38,7 @@ import numpy as np
 
 from nano_pearl_tpu.config import PearlConfig
 from nano_pearl_tpu.engine.runner import GroupRunner
-from nano_pearl_tpu.models.transformer import compute_logits, forward
+from nano_pearl_tpu.models.transformer import compute_logits
 from nano_pearl_tpu.ops.sampling import greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 

@@ -29,8 +29,6 @@ handling the tensor-parallel linears.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
