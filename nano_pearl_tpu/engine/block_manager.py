@@ -118,11 +118,15 @@ class BlockManager:
 
     def rollback(self, view: SeqView, n: int):
         """Truncate n tokens, freeing tail blocks that fall empty
-        (reference: block_manager.py:93-106). KV data is never moved."""
-        before = view.num_blocks
+        (reference: block_manager.py:93-106). KV data is never moved.
+        The table may hold unfilled lookahead blocks beyond the blocks
+        the current length occupies (``ensure_capacity`` reservations) —
+        every entry past the new length is released, not just the
+        previously-occupied range (releasing only [after:before] while
+        deleting [after:] leaked each reservation on reject)."""
         view.truncate(n)
         after = view.num_blocks
-        for block_id in view.block_table[after:before]:
+        for block_id in view.block_table[after:]:
             self._release(block_id)
         del view.block_table[after:]
 

@@ -118,14 +118,19 @@ class PearlOrchestrator:
 
     # ------------------------------------------------------------- prefill
 
-    def prefill_all(self, target_only: bool = False):
+    def prefill_all(self, target_only: bool = False, strict: bool = True):
         """Prefill every waiting request, in as many admission batches as
         needed (the reference assumes a single batch: pearl_generate calls
         prefill() once, :418). Each group samples its own first token from
         its own logits (reference: prefill() runs per group, :307-317);
-        finish-on-EOS follows the committed target stream only."""
+        finish-on-EOS follows the committed target stream only. With
+        ``strict=False`` (continuous serving) a seat/block-limited
+        admission simply leaves the remainder waiting for a later round
+        instead of asserting."""
         while self.scheduler.waiting:
             seqs = self.scheduler.schedule_prefill()
+            if not seqs and not strict:
+                return
             assert seqs, "prefill admission made no progress (prompt too large?)"
             b = len(seqs)
             b_pad = self.pcfg.bucket_batch(b)
@@ -307,12 +312,17 @@ class PearlOrchestrator:
         """reference: pearl_generate (:414-438). Returns elapsed seconds."""
         start = time.perf_counter()
         self.prefill_all()
-        gamma = self._pick_gamma() if self.scheduler.running else 1
-        if self.fused is not None and not self._filtering_active():
-            self._fused_pearl_run(gamma, num_steps=None)
-        else:
-            while not self.scheduler.is_finished():
-                self.pearl_round(gamma)
+        while not self.scheduler.is_finished():
+            gamma = self._pick_gamma() if self.scheduler.running else 1
+            if self.fused is not None and not self._filtering_active():
+                self._fused_pearl_run(gamma, num_steps=None)
+            else:
+                while self.scheduler.running:
+                    self.pearl_round(gamma)
+            if self.scheduler.waiting:
+                # seats/blocks freed by finished sequences: admit the
+                # overflow (the strict assert guards real no-progress)
+                self.prefill_all()
         self._sync()
         return time.perf_counter() - start
 
@@ -345,10 +355,19 @@ class PearlOrchestrator:
         group but discards its output; we skip that waste)."""
         start = time.perf_counter()
         self.prefill_all(target_only=True)
-        if self.pcfg.execution_mode != "overlap" and not self._filtering_active():
-            self._fused_ar_run()
+        fused_ar = (
+            self.pcfg.execution_mode != "overlap" and not self._filtering_active()
+        )
+        if fused_ar:
+            while not self.scheduler.is_finished():
+                self._fused_ar_run()
+                if self.scheduler.waiting:
+                    # seats freed by finished sequences: admit the overflow
+                    self.prefill_all(target_only=True)
         else:
             while not self.scheduler.is_finished():
+                if not self.scheduler.running:
+                    self.prefill_all(target_only=True)
                 seqs = self.scheduler.schedule_decode(lookahead=1)
                 b = len(seqs)
                 b_pad = self.pcfg.bucket_batch(b)
@@ -551,7 +570,7 @@ class PearlOrchestrator:
         casing for them. This is the capability the reference lists as
         TODO (reference: README.md:110 'continuous batching')."""
         if self.scheduler.waiting:
-            self.prefill_all()
+            self.prefill_all(strict=False)
         if not self.scheduler.running:
             return
         gamma = self._pick_gamma()

