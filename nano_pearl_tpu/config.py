@@ -296,7 +296,15 @@ class PearlConfig:
             self.draft_config = replace(self.draft_config, kv_quant=self.draft_kv_quant)
         if self.target_kv_quant:
             self.target_config = replace(self.target_config, kv_quant=self.target_kv_quant)
-        assert self.max_num_batched_tokens >= self.max_model_len
+        # max_num_batched_tokens MAY be smaller than max_model_len:
+        # prompts longer than the budget prefill in block-aligned chunks
+        # (chunked prefill, engine/pearl.py prefill_all — the reference
+        # cannot admit them at all: scheduler.py:39 + one prefill() per
+        # generate). It must cover at least one KV block so chunk
+        # boundaries stay block-aligned.
+        assert self.max_num_batched_tokens >= self.kvcache_block_size, (
+            "max_num_batched_tokens must cover at least one KV block"
+        )
         assert self.max_model_len % self.kvcache_block_size == 0, (
             "max_model_len must be a multiple of the KV block size"
         )

@@ -131,7 +131,8 @@ class PearlOrchestrator:
             seqs = self.scheduler.schedule_prefill()
             if not seqs and not strict:
                 return
-            assert seqs, "prefill admission made no progress (prompt too large?)"
+            assert seqs, "prefill admission made no progress (out of KV blocks?)"
+            self._drain_oversized(seqs, target_only)
             b = len(seqs)
             b_pad = self.pcfg.bucket_batch(b)
             lq_d = max(len(s.draft) - s.draft.num_cached_tokens for s in seqs)
@@ -185,6 +186,42 @@ class PearlOrchestrator:
                     seq.num_completion_tokens == seq.max_tokens
                 ):
                     self.scheduler.finish(seq)
+
+    def _drain_oversized(self, seqs, target_only: bool):
+        """Chunked prefill: a prompt longer than max_num_batched_tokens
+        (admitted ALONE by the scheduler) is prefilled in block-aligned
+        chunk passes whose logits are discarded; only the final <= chunk
+        tokens go through the normal sampling pass in prefill_all. Chunk
+        boundaries stay block-aligned so every non-first pass takes the
+        pre-gathered prefix-merge program (runner._prefill_prefix_impl) —
+        the already-written chunks play the role of a prefix-cache hit.
+        Beyond the reference (its scheduler cannot admit such prompts:
+        scheduler.py:39). v1 note: each pass re-gathers the full cached
+        prefix ([L, 1, S_pre, Hkv, D]) — KV-sized, not activation-sized;
+        a paged-prefix Pallas prefill kernel would remove even that."""
+        bs = self.scheduler.block_size
+        chunk = (self.pcfg.max_num_batched_tokens // bs) * bs
+
+        def drain(runner, view):
+            while len(view) - view.num_cached_tokens > chunk:
+                runner.prefill(
+                    [view],
+                    self.pcfg.bucket_tokens(chunk),
+                    self.pcfg.bucket_batch(1),
+                    self._m_pad_tight([view]),
+                    fresh_only=view.num_cached_tokens == 0,
+                    limit=chunk,
+                )
+                view.num_cached_tokens += chunk
+
+        for s in seqs:
+            pairs = [(self.target, s.target)]
+            if not target_only:
+                pairs.insert(0, (self.draft, s.draft))
+            if any(len(v) - v.num_cached_tokens > chunk for _, v in pairs):
+                assert len(seqs) == 1, "oversized prompts are admitted alone"
+                for runner, v in pairs:
+                    drain(runner, v)
 
     # --------------------------------------------------------------- rounds
 

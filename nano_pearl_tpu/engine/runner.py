@@ -421,12 +421,19 @@ class GroupRunner:
         b_pad: int,
         m_pad: int,
         fresh_only: bool = False,
+        limit: int | None = None,
     ):
         """Returns logits [b_pad, V] (device, async). Program choice:
         ``fresh_only`` (no prefix-cache hits anywhere) -> fresh-KV
         self-attention (_prefill_self_impl); prefix hits on a plain mesh
         -> pre-gathered prefix merge (_prefill_prefix_impl); otherwise
-        the cache-reading fallback (_prefill_impl)."""
+        the cache-reading fallback (_prefill_impl).
+
+        ``limit`` caps the new tokens processed per view (chunked
+        prefill, engine/pearl.py prefill_all): KV is written for the
+        first ``limit`` uncached tokens only, and the returned logits
+        are meaningless for capped views (the caller advances
+        ``num_cached_tokens`` and prefills the remainder later)."""
         bs = self.block_size
         b = len(views)
         tokens = np.zeros((b_pad, lq_pad), np.int32)
@@ -437,7 +444,8 @@ class GroupRunner:
         sel_rows = np.zeros((b_pad,), np.int32)
         for i, v in enumerate(views):
             start = v.num_cached_tokens
-            new = v.token_ids[start:]
+            end = len(v.token_ids) if limit is None else min(start + limit, len(v.token_ids))
+            new = v.token_ids[start:end]
             n = len(new)
             assert 0 < n <= lq_pad
             tokens[i, :n] = new

@@ -62,7 +62,15 @@ class Scheduler:
         while self.waiting and already_running + len(scheduled) < self.max_num_seqs:
             seq = self.waiting[0]
             new_tokens = len(seq.target)  # upper bound; prefix hits reduce it
-            if num_tokens + new_tokens > self.max_num_batched_tokens:
+            # A prompt larger than the whole token budget can never satisfy
+            # the sum check: admit it ALONE and let prefill_all process it
+            # in block-aligned chunks (chunked prefill — the reference
+            # cannot admit these at all: scheduler.py:39 plus the single
+            # prefill() call per generate).
+            oversized = new_tokens > self.max_num_batched_tokens
+            if oversized and scheduled:
+                break
+            if not oversized and num_tokens + new_tokens > self.max_num_batched_tokens:
                 break
             if not (self.draft_bm.can_allocate(seq.draft) and self.target_bm.can_allocate(seq.target)):
                 logger.warning("prefill admission blocked: out of KV blocks")
@@ -77,6 +85,8 @@ class Scheduler:
             self.waiting.popleft()
             self.running.append(seq)
             scheduled.append(seq)
+            if oversized:
+                break
         return scheduled
 
     # ---- AR decode batch with preemption (reference: scheduler.py:53-67) ----

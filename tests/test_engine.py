@@ -146,7 +146,13 @@ def test_tp_sharded_engine_matches_tp1(tmp_path):
     torch = pytest.importorskip("torch")
 
     def mk(path, hidden, heads, kv):
-        torch.manual_seed(hash(str(path)) % 2**31)
+        # NB: seed from the stable basename, not hash(str(path)) — str
+        # hashing is salted per process and tmp_path varies per run, so
+        # every run would get different weights (and the occasional
+        # near-tie logit that TP's reduction order flips).
+        import zlib
+
+        torch.manual_seed(zlib.crc32(path.name.encode()))
         cfg = transformers.LlamaConfig(
             hidden_size=hidden, intermediate_size=hidden * 2, num_hidden_layers=2,
             num_attention_heads=heads, num_key_value_heads=kv, vocab_size=211,
