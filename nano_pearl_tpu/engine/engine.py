@@ -152,19 +152,45 @@ class PearlEngine:
         reference: README.md:110)."""
         return self.add_request(prompt, sampling_params)
 
-    def serve_step(self, fused_rounds: int = 8):
+    def serve_step(self, fused_rounds: int = 8, with_deltas: bool = False):
         """Advance the engine one scheduling iteration and return newly
         finished requests as (seq_id, completion_token_ids, num_acc_tokens).
         Mid-flight admission: requests submitted between calls join the
-        batch in pre-verify state without draining it."""
+        batch in pre-verify state without draining it.
+
+        With ``with_deltas`` the return is ``(done, deltas)`` where
+        deltas is a list of (seq_id, new_token_ids, finished) exposing
+        per-token streaming. Only the ROLLBACK-PROOF prefix is streamed:
+        after an accepted round the committed stream's last gamma tokens
+        are still unverified (the next verdict may truncate up to
+        gamma-1 of them and substitute a revise token, _apply_verdict),
+        so the stable frontier is len(target) - gamma; after a rejected
+        round (pre_verify) the whole stream is verified. Streamed tokens
+        are therefore final — a consumer never sees a retraction."""
         self.orchestrator.serve_round(fused_rounds)
         done = []
+        deltas = []
         for seq in self.scheduler.finished:
-            done.append((seq.seq_id, seq.completion_token_ids, list(seq.num_acc_tokens)))
+            comp = seq.completion_token_ids
+            done.append((seq.seq_id, comp, list(seq.num_acc_tokens)))
+            if with_deltas:
+                deltas.append((seq.seq_id, comp[seq.num_streamed :], True))
+                seq.num_streamed = len(comp)
             self._completed_requests += 1
-            self._completed_tokens += len(done[-1][1])
+            self._completed_tokens += len(comp)
         self.scheduler.finished.clear()
-        return done
+        if not with_deltas:
+            return done
+        g = self.orchestrator.last_gamma
+        for seq in self.scheduler.running:
+            stable = len(seq.target) - (0 if seq.pre_verify else g)
+            new = seq.target.token_ids[
+                seq.num_prompt_tokens + seq.num_streamed : stable
+            ]
+            if new:
+                deltas.append((seq.seq_id, new, False))
+                seq.num_streamed += len(new)
+        return done, deltas
 
     def cancel(self, request_id: int) -> bool:
         """Abort a queued or in-flight request; its KV blocks are freed

@@ -53,6 +53,11 @@ class PearlOrchestrator:
         self._seed_counter = pcfg.seed * 1_000_003
         self._round = 0
         self.gamma_list: dict[int, int] | None = None
+        # gamma of the most recent serve_round: bounds the committed
+        # stream's unverified tail for token streaming (engine.serve_step
+        # with_deltas); 0 until a round has run (post-prefill state is
+        # fully verified).
+        self.last_gamma = 0
 
         from nano_pearl_tpu.engine.fused import FusedPearl
 
@@ -611,6 +616,7 @@ class PearlOrchestrator:
         if not self.scheduler.running:
             return
         gamma = self._pick_gamma()
+        self.last_gamma = gamma
         if self.fused is not None and not self._filtering_active():
             self._fused_pearl_run(gamma, num_steps=fused_rounds)
         else:

@@ -88,6 +88,10 @@ class Sequence:
         self.pre_verify = True
         self.num_acc_tokens: list[int] = []
         self.cur_acc_tokens = 0
+        # completion tokens already handed to a streaming consumer
+        # (engine.serve_step with_deltas); never exceeds the stable
+        # (rollback-proof) frontier of the committed stream
+        self.num_streamed = 0
         self.draft = SeqView(token_ids, block_size)
         self.target = SeqView(token_ids, block_size)
 

@@ -20,6 +20,12 @@ stdlib dependencies:
                    {"cancelled": true}
   GET  /health     -> {"ok": true, "queued": N, "running": N}
 
+  With "stream": true, /generate responds with newline-delimited JSON:
+  first {"request_id"}, then {"token_ids": [...], "done": false} chunks
+  as tokens VERIFY (only the rollback-proof prefix is ever emitted —
+  engine.serve_step with_deltas), and a final {"done": true, ...} record
+  with the usual result fields.
+
 All engine interaction happens on ONE driver thread (JAX dispatch is
 not re-entrant); HTTP handlers enqueue work and wait on per-request
 events. Requests submitted while a batch is in flight join it at the
@@ -51,17 +57,22 @@ class PearlServer:
         self.cancel_box: queue.Queue = queue.Queue()
         self.results: dict[int, dict] = {}
         self.events: dict[int, threading.Event] = {}
+        # per-request streaming subscriptions: seq_id -> Queue of
+        # (token_ids, finished); registered by the DRIVER at admission so
+        # no delta can be produced before the queue exists
+        self.streams: dict[int, queue.Queue] = {}
         self.lock = threading.Lock()
         self.queued = 0
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit_async(self, prompt, params, timeout: float = 60.0) -> int:
+    def submit_async(self, prompt, params, timeout: float = 60.0,
+                     stream_q: queue.Queue | None = None) -> int:
         """Thread-safe: enqueue a request, return its id at admission."""
         admitted = threading.Event()
         done = threading.Event()
-        self.inbox.put((prompt, params, done, admitted))
+        self.inbox.put((prompt, params, done, admitted, stream_q))
         with self.lock:
             self.queued += 1
         if not admitted.wait(timeout):
@@ -69,6 +80,13 @@ class PearlServer:
         if getattr(done, "error", None):
             raise ValueError(done.error)
         return done.seq_id  # type: ignore[attr-defined]
+
+    def submit_stream(self, prompt, params, timeout: float = 60.0):
+        """Thread-safe: enqueue a streaming request; returns
+        (request_id, queue of (token_ids, finished) chunks)."""
+        q: queue.Queue = queue.Queue()
+        rid = self.submit_async(prompt, params, timeout, stream_q=q)
+        return rid, q
 
     def result(self, request_id: int, timeout: float | None = None) -> dict:
         """Block until the request finishes (or was cancelled)."""
@@ -108,7 +126,7 @@ class PearlServer:
         any_new = False
         while True:
             try:
-                prompt, params, done, admitted = self.inbox.get_nowait()
+                prompt, params, done, admitted, stream_q = self.inbox.get_nowait()
             except queue.Empty:
                 return any_new
             try:
@@ -123,6 +141,8 @@ class PearlServer:
                 continue
             done.seq_id = seq_id  # route the result back to this waiter
             self.events[seq_id] = done
+            if stream_q is not None:
+                self.streams[seq_id] = stream_q
             admitted.set()
             with self.lock:
                 self.queued -= 1
@@ -142,6 +162,9 @@ class PearlServer:
                         "request_id": request_id, "cancelled": True,
                     }
                     waiter.set()
+                sub = self.streams.pop(request_id, None)
+                if sub is not None:
+                    sub.put(([], True))  # unblock the streaming reader
             done.set()
 
     def _run(self):
@@ -151,7 +174,8 @@ class PearlServer:
             if not self.engine.has_work:
                 time.sleep(self.idle_sleep)
                 continue
-            for seq_id, token_ids, num_acc in self.engine.serve_step(self.fused_rounds):
+            done, deltas = self.engine.serve_step(self.fused_rounds, with_deltas=True)
+            for seq_id, token_ids, num_acc in done:
                 result = {
                     "request_id": seq_id,
                     "token_ids": token_ids,
@@ -164,6 +188,12 @@ class PearlServer:
                 if event is not None:
                     self.results[seq_id] = result
                     event.set()
+            for seq_id, token_ids, finished in deltas:
+                sub = self.streams.get(seq_id)
+                if sub is not None:
+                    sub.put((token_ids, finished))
+                    if finished:
+                        del self.streams[seq_id]
 
 
 def make_handler(server: PearlServer):
@@ -217,6 +247,8 @@ def make_handler(server: PearlServer):
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
                 )
+                if req.get("stream", False):
+                    return self._stream(req["prompt"], params)
                 if req.get("blocking", True):
                     result = server.generate(req["prompt"], params)
                     return self._reply(200, result)
@@ -224,6 +256,32 @@ def make_handler(server: PearlServer):
                 return self._reply(200, {"request_id": rid})
             except Exception as e:  # surface errors to the client
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream(self, prompt, params):
+            """Newline-delimited JSON: token chunks as they verify, then
+            a final record with the full result fields."""
+            rid, q = server.submit_stream(prompt, params)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()  # no Content-Length: connection close ends the body
+
+            def line(payload):
+                self.wfile.write((json.dumps(payload) + "\n").encode())
+                self.wfile.flush()
+
+            line({"request_id": rid})
+            while True:
+                token_ids, finished = q.get(timeout=600)
+                if token_ids:  # the finished chunk may carry final tokens
+                    line({"token_ids": token_ids, "done": False})
+                if finished:
+                    break
+            final = {"request_id": rid, "done": True}
+            try:
+                final.update(server.result(rid, timeout=10))
+            except KeyError:
+                final["cancelled"] = True  # cancelled before finishing
+            line(final)
 
     return Handler
 

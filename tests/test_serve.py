@@ -190,3 +190,58 @@ def test_serving_fuzz_invariants():
         assert 1 <= len(toks)
     assert (eng.scheduler.draft_bm.num_free_blocks,
             eng.scheduler.target_bm.num_free_blocks) == free0
+
+
+def test_engine_streaming_deltas():
+    """serve_step(with_deltas=True): streamed chunks concatenate to the
+    exact final completion, arrive before the request finishes, and are
+    never retracted (only the rollback-proof prefix is emitted)."""
+    eng = PearlEngine(tiny_pearl_config())
+    sid = eng.submit([1, 2, 3, 4, 5],
+                     SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True))
+    streamed, final, saw_partial = [], None, False
+    while eng.has_work:
+        done, deltas = eng.serve_step(1, with_deltas=True)
+        for rid, toks, finished in deltas:
+            assert rid == sid
+            if not finished and toks:
+                saw_partial = True
+            streamed += toks
+        for rid, toks, _acc in done:
+            final = toks
+    assert saw_partial, "no incremental chunk arrived before completion"
+    assert final is not None and streamed == final
+
+
+def test_http_streaming():
+    import serve as serve_mod
+
+    engine = PearlEngine(tiny_pearl_config())
+    server = serve_mod.PearlServer(engine, fused_rounds=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": [1, 2, 3], "max_tokens": 30,
+                             "ignore_eos": True, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        chunks, final, rid = [], None, None
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for raw in r:
+                rec = json.loads(raw)
+                if "request_id" in rec and "done" not in rec:
+                    rid = rec["request_id"]
+                elif rec.get("done"):
+                    final = rec
+                else:
+                    chunks += rec["token_ids"]
+        assert rid is not None and final is not None
+        assert final["request_id"] == rid
+        assert chunks == final["token_ids"]
+        assert final["num_tokens"] == 30
+    finally:
+        httpd.shutdown()
+        server.stop()
