@@ -14,6 +14,8 @@ and the scheduler. API surface matches the reference:
 from __future__ import annotations
 
 import os
+import time
+from collections import deque
 
 from nano_pearl_tpu.config import PearlConfig, SamplingParams
 from nano_pearl_tpu.engine.pearl import PearlOrchestrator
@@ -54,6 +56,8 @@ class PearlEngine:
         self.tokenizer = self._maybe_tokenizer()
         self._completed_requests = 0
         self._completed_tokens = 0
+        # recent completions' (ttft, tpot, e2e) for stats percentiles
+        self._lat = deque(maxlen=512)
         if config.gamma == -1:
             self.orchestrator.auto_set_gamma()
         logger.info("PearlEngine ready.", color="green")
@@ -93,6 +97,7 @@ class PearlEngine:
             "prompt + max_tokens exceeds max_model_len"
         )
         seq = Sequence(list(prompt), sampling_params, self.config.kvcache_block_size)
+        seq.t_submit = time.perf_counter()
         self.scheduler.add(seq)
         return seq.seq_id
 
@@ -170,6 +175,7 @@ class PearlEngine:
         self.orchestrator.serve_round(fused_rounds)
         done = []
         deltas = []
+        now = time.perf_counter()
         for seq in self.scheduler.finished:
             comp = seq.completion_token_ids
             done.append((seq.seq_id, comp, list(seq.num_acc_tokens)))
@@ -178,6 +184,12 @@ class PearlEngine:
                 seq.num_streamed = len(comp)
             self._completed_requests += 1
             self._completed_tokens += len(comp)
+            if seq.t_submit is not None and seq.t_first is not None:
+                self._lat.append((
+                    seq.t_first - seq.t_submit,                       # TTFT
+                    (now - seq.t_first) / max(1, len(comp) - 1),      # TPOT
+                    now - seq.t_submit,                               # e2e
+                ))
         self.scheduler.finished.clear()
         if not with_deltas:
             return done
@@ -210,7 +222,21 @@ class PearlEngine:
             "target_free_blocks": sch.target_bm.num_free_blocks,
             "completed_requests": self._completed_requests,
             "completed_tokens": self._completed_tokens,
+            **self._latency_stats(),
         }
+
+    def _latency_stats(self) -> dict:
+        """TTFT / TPOT / end-to-end percentiles (seconds) over the last
+        <=512 served completions. TTFT = submit -> first committed token
+        (prefill sample); TPOT = mean inter-token time after the first."""
+        if not self._lat:
+            return {}
+        out = {}
+        for i, name in enumerate(("ttft", "tpot", "e2e")):
+            vals = sorted(v[i] for v in self._lat)
+            out[f"{name}_p50_s"] = round(vals[len(vals) // 2], 4)
+            out[f"{name}_p95_s"] = round(vals[min(len(vals) - 1, int(len(vals) * 0.95))], 4)
+        return out
 
     @property
     def has_work(self) -> bool:

@@ -179,10 +179,13 @@ class PearlOrchestrator:
             # token instead: draft and target streams are then identical
             # after every verify-apply (the invariant the fused on-device
             # loop relies on).
+            t_now = time.perf_counter()
             for i, seq in enumerate(seqs):
                 if not target_only:
                     seq.draft.append(int(toks_t[i]))
                 seq.target.append(int(toks_t[i]))
+                if seq.t_first is None:
+                    seq.t_first = t_now  # first committed token: TTFT stamp
             # finish check on the committed stream (reference: postprocess,
             # scheduler.py:74-81)
             for i, seq in enumerate(list(seqs)):

@@ -92,6 +92,11 @@ class Sequence:
         # (engine.serve_step with_deltas); never exceeds the stable
         # (rollback-proof) frontier of the committed stream
         self.num_streamed = 0
+        # serving latency stamps (perf_counter): set by engine.add_request
+        # and the prefill sampling pass; feed the TTFT/TPOT percentiles in
+        # engine.stats
+        self.t_submit: float | None = None
+        self.t_first: float | None = None
         self.draft = SeqView(token_ids, block_size)
         self.target = SeqView(token_ids, block_size)
 

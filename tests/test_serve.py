@@ -144,6 +144,10 @@ def test_engine_stats_counters():
     assert s1["completed_tokens"] == 8
     assert s1["running"] == 0
     assert s1["draft_free_blocks"] == s0["draft_free_blocks"]
+    # latency percentiles appear once something completed and are sane
+    assert "ttft_p50_s" not in s0
+    assert 0 < s1["ttft_p50_s"] <= s1["e2e_p50_s"]
+    assert 0 < s1["tpot_p50_s"] < s1["e2e_p95_s"]
 
 
 def test_serving_fuzz_invariants():
