@@ -228,12 +228,18 @@ class PearlEngine:
     def _latency_stats(self) -> dict:
         """TTFT / TPOT / end-to-end percentiles (seconds) over the last
         <=512 served completions. TTFT = submit -> first committed token
-        (prefill sample); TPOT = mean inter-token time after the first."""
-        if not self._lat:
+        (prefill sample); TPOT = mean inter-token time after the first.
+
+        stats() is read from HTTP handler threads while the driver thread
+        appends: snapshot the deque in one C-level call (list() never
+        yields the GIL mid-copy) — iterating the live deque would raise
+        'deque mutated during iteration'."""
+        lat = list(self._lat)
+        if not lat:
             return {}
         out = {}
         for i, name in enumerate(("ttft", "tpot", "e2e")):
-            vals = sorted(v[i] for v in self._lat)
+            vals = sorted(v[i] for v in lat)
             out[f"{name}_p50_s"] = round(vals[len(vals) // 2], 4)
             out[f"{name}_p95_s"] = round(vals[min(len(vals) - 1, int(len(vals) * 0.95))], 4)
         return out

@@ -208,9 +208,14 @@ class PearlOrchestrator:
         prefix ([L, 1, S_pre, Hkv, D]) — KV-sized, not activation-sized;
         a paged-prefix Pallas prefill kernel would remove even that."""
         bs = self.scheduler.block_size
-        chunk = (self.pcfg.max_num_batched_tokens // bs) * bs
+        budget = self.pcfg.max_num_batched_tokens
+        chunk = (budget // bs) * bs
 
         def drain(runner, view):
+            # drains to <= chunk (<= budget); the final <= budget tokens go
+            # through the batch's normal sampling pass. Trigger on budget,
+            # not chunk: with a non-block-multiple budget a remainder in
+            # (chunk, budget] fits the normal pass directly.
             while len(view) - view.num_cached_tokens > chunk:
                 runner.prefill(
                     [view],
@@ -226,9 +231,12 @@ class PearlOrchestrator:
             pairs = [(self.target, s.target)]
             if not target_only:
                 pairs.insert(0, (self.draft, s.draft))
-            if any(len(v) - v.num_cached_tokens > chunk for _, v in pairs):
-                assert len(seqs) == 1, "oversized prompts are admitted alone"
-                for runner, v in pairs:
+            # per-view, not per-batch: a re-admitted preempted sequence's
+            # DRAFT view can run up to gamma tokens past its target view
+            # (only len(target) drives the scheduler's oversized check),
+            # so a multi-seq batch may still contain one view to drain.
+            for runner, v in pairs:
+                if len(v) - v.num_cached_tokens > budget:
                     drain(runner, v)
 
     # --------------------------------------------------------------- rounds

@@ -259,7 +259,11 @@ def make_handler(server: PearlServer):
 
         def _stream(self, prompt, params):
             """Newline-delimited JSON: token chunks as they verify, then
-            a final record with the full result fields."""
+            a final record with the full result fields. Submission errors
+            raise BEFORE headers are sent (do_POST turns them into a
+            400); after the 200 status line this never raises — a dead
+            client or stalled generation cancels the request instead of
+            letting do_POST write a second status line into the body."""
             rid, q = server.submit_stream(prompt, params)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -269,19 +273,25 @@ def make_handler(server: PearlServer):
                 self.wfile.write((json.dumps(payload) + "\n").encode())
                 self.wfile.flush()
 
-            line({"request_id": rid})
-            while True:
-                token_ids, finished = q.get(timeout=600)
-                if token_ids:  # the finished chunk may carry final tokens
-                    line({"token_ids": token_ids, "done": False})
-                if finished:
-                    break
-            final = {"request_id": rid, "done": True}
             try:
-                final.update(server.result(rid, timeout=10))
-            except KeyError:
-                final["cancelled"] = True  # cancelled before finishing
-            line(final)
+                line({"request_id": rid})
+                while True:
+                    token_ids, finished = q.get(timeout=600)
+                    if token_ids:  # the finished chunk may carry final tokens
+                        line({"token_ids": token_ids, "done": False})
+                    if finished:
+                        break
+                final = {"request_id": rid, "done": True}
+                try:
+                    final.update(server.result(rid, timeout=10))
+                except KeyError:
+                    final["cancelled"] = True  # cancelled before finishing
+                line(final)
+            except Exception:
+                # client gone (BrokenPipeError) or generation stalled
+                # (queue.Empty): stop decoding for a dead consumer and
+                # drop the stream subscription
+                server.cancel(rid)
 
     return Handler
 

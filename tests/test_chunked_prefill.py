@@ -75,3 +75,22 @@ def test_chunked_prefill_with_prefix_cache():
     ref.add_request(follow, SamplingParams(temperature=0.0, max_tokens=8))
     expect, _, _, _ = ref.generate_token_ids()
     assert second == expect
+
+
+def test_chunked_prefill_non_multiple_budget():
+    """Budget not a block multiple (50 vs block 16): a 49-token prompt
+    batches normally with a 1-token prompt (49+1 <= 50, and 49 is inside
+    the budget even though it exceeds the 48-token chunk), while a
+    150-token prompt still drains in chunks."""
+    prompts = [_prompt(49, seed=11), _prompt(1, seed=12), _prompt(150, seed=13)]
+    outs = {}
+    for budget in (512, 50):
+        eng = PearlEngine(tiny_pearl_config(
+            max_num_batched_tokens=budget, max_model_len=256,
+            prefill_token_buckets=(32, 64, 128, 256),
+        ))
+        for p in prompts:
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=12))
+        res, _, _, _ = eng.generate_token_ids()
+        outs[budget] = res
+    assert outs[50] == outs[512]
