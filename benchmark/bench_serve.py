@@ -1,0 +1,157 @@
+"""Continuous-batching serving benchmark: goodput under request arrivals.
+
+The reference has no serving story at all (continuous batching is a TODO,
+reference: README.md:110); its benchmarks measure static batches only
+(bench.py, benchmark/eval_benchmark.py). This harness drives the
+engine's submit/serve_step API the way a production front-end does:
+requests arrive over time (deterministic exponential/Poisson
+inter-arrival gaps), join the running batch mid-flight, and finish
+independently — and reports the serving metrics that matter:
+
+  - request throughput (req/s) and token goodput (committed tok/s)
+  - TTFT / TPOT / end-to-end latency p50/p95 (engine.stats percentiles)
+  - mean batch occupancy (how full the continuous batch actually runs)
+
+Usage (layer-share weightless pair, like bench.py):
+  python benchmark/bench_serve.py --cpu --quick
+  python benchmark/bench_serve.py --rate 8 --requests 64 --batch-cap 32
+
+Prints ONE JSON line like bench.py for scripted consumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="nano-pearl-tpu serving benchmark")
+    p.add_argument("--quick", action="store_true", help="tiny shapes, smoke test")
+    p.add_argument("--rate", type=float, default=8.0,
+                   help="mean request arrival rate (req/s)")
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--max-tokens", type=int, default=128)
+    p.add_argument("--gamma", type=int, default=8)
+    p.add_argument("--fused-rounds", type=int, default=4)
+    p.add_argument("--batch-cap", type=int, default=32, help="max_num_seqs")
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--ffn", type=int, default=4096)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--kv-heads", type=int, default=2)
+    p.add_argument("--vocab", type=int, default=32768)
+    p.add_argument("--draft-layers", type=int, default=3)
+    p.add_argument("--target-layers", type=int, default=36)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.quick:
+        args.hidden, args.ffn, args.heads, args.kv_heads = 256, 512, 4, 2
+        args.vocab, args.draft_layers, args.target_layers = 2048, 2, 4
+        args.requests = min(args.requests, 12)
+        args.max_tokens = min(args.max_tokens, 32)
+        args.rate = min(args.rate, 50.0)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import bench as benchmod
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
+
+    def mc(layers):
+        return ModelConfig(
+            architecture="LlamaForCausalLM", hidden_size=args.hidden,
+            intermediate_size=args.ffn, num_hidden_layers=layers,
+            num_attention_heads=args.heads, num_key_value_heads=args.kv_heads,
+            vocab_size=args.vocab, eos_token_id=1,
+            dtype="float32" if args.cpu else "bfloat16",
+            max_position_embeddings=4096,
+        )
+
+    draft, target = mc(args.draft_layers), mc(args.target_layers)
+    dparams, tparams = benchmod.build_layer_share_pair(draft, target, args.seed)
+    cfg = PearlConfig(
+        draft_model=draft, target_model=target, draft_tp=1, target_tp=1,
+        max_model_len=2048, max_num_seqs=args.batch_cap, gamma=args.gamma,
+        seed=args.seed,
+    )
+    eng = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
+
+    rng = np.random.default_rng(args.seed)
+    prompts = [
+        [int(t) for t in rng.integers(2, args.vocab - 1, size=args.prompt_len)]
+        for _ in range(args.requests)
+    ]
+    gaps = rng.exponential(1.0 / args.rate, size=args.requests)
+    params = SamplingParams(
+        temperature=0.0, max_tokens=args.max_tokens, ignore_eos=True
+    )
+
+    # warmup: compile every program shape the serve loop will hit
+    wid = eng.submit(prompts[0], params)
+    while eng.has_work:
+        eng.serve_step(args.fused_rounds)
+    eng.scheduler.finished.clear()
+    eng._lat.clear()  # warmup's compile-inflated latency must not skew percentiles
+
+    # ---- timed serving run: arrivals interleave with serve_step ----
+    t0 = time.perf_counter()
+    arrivals = np.cumsum(gaps)  # seconds after t0
+    next_req = 0
+    completed = 0
+    tokens_out = 0
+    occupancy = []
+    while completed < args.requests:
+        now = time.perf_counter() - t0
+        while next_req < args.requests and arrivals[next_req] <= now:
+            eng.submit(prompts[next_req], params)
+            next_req += 1
+        if not eng.has_work:
+            if next_req < args.requests:  # idle until the next arrival
+                time.sleep(max(0.0, arrivals[next_req] - (time.perf_counter() - t0)))
+            continue
+        done, _ = eng.serve_step(args.fused_rounds, with_deltas=True)
+        occupancy.append(len(eng.scheduler.running) + len(done))
+        for _sid, toks, _acc in done:
+            completed += 1
+            tokens_out += len(toks)
+    elapsed = time.perf_counter() - t0
+
+    stats = eng.stats()
+    result = {
+        "metric": "serving_goodput",
+        "value": round(tokens_out / elapsed, 1),
+        "unit": "tok/s",
+        "vs_baseline": None,  # the reference cannot run this workload at all
+        "req_per_s": round(completed / elapsed, 2),
+        "offered_rate": args.rate,
+        "requests": completed,
+        "mean_batch_occupancy": round(float(np.mean(occupancy)), 1),
+        "ttft_p50_s": stats.get("ttft_p50_s"),
+        "ttft_p95_s": stats.get("ttft_p95_s"),
+        "tpot_p50_s": stats.get("tpot_p50_s"),
+        "e2e_p95_s": stats.get("e2e_p95_s"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
