@@ -38,6 +38,15 @@ def parse_args():
     p.add_argument("--run-ar-benchmark", "-ar", action="store_true")
     p.add_argument("--token-ids", action="store_true", help="turns are id lists")
     p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument(
+        "--quant", type=str, default=None, choices=["int8", "fp8"],
+        help="weight-only quantization for BOTH model groups "
+        "(acceptance-rate parity check: compare MAT vs a bf16 run)",
+    )
+    p.add_argument(
+        "--kv-quant", type=str, default=None, choices=["int8", "fp8"],
+        help="KV-cache quantization for BOTH model groups",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -72,6 +81,8 @@ def main():
         max_model_len=args.max_model_len,
         gamma=args.gamma,
         seed=args.seed,
+        draft_quant=args.quant, target_quant=args.quant,
+        draft_kv_quant=args.kv_quant, target_kv_quant=args.kv_quant,
     )
     engine = PearlEngine(config)
     rows = load_dataset(args.data_path, args.num_samples)
