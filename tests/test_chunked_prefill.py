@@ -94,3 +94,24 @@ def test_chunked_prefill_non_multiple_budget():
         res, _, _, _ = eng.generate_token_ids()
         outs[budget] = res
     assert outs[50] == outs[512]
+
+
+def test_chunked_prefill_under_parallelism():
+    """Chunk drains under tp and sp: non-first passes take the
+    cache-reading fallback on sp meshes (runner.prefill skips the
+    prefix-merge path there) — outputs must still match the
+    unconstrained-budget engine with the same parallelism."""
+    prompt = _prompt(150, seed=21)
+    for over in ({"draft_tp": 2, "target_tp": 2},
+                 {"draft_sp": 2, "target_sp": 2, "num_kvcache_blocks": 96}):
+        outs = {}
+        for budget in (512, 48):
+            eng = PearlEngine(tiny_pearl_config(
+                max_num_batched_tokens=budget, max_model_len=256,
+                prefill_token_buckets=(32, 64, 128, 256), **over,
+            ))
+            eng.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=12))
+            res, _, _, _ = eng.generate_token_ids()
+            outs[budget] = res
+            del eng
+        assert outs[48] == outs[512], f"chunked != unchunked under {over}"
