@@ -43,6 +43,11 @@ class SamplingParams:
     ignore_eos: bool = False
     top_k: int = 0  # <= 0: disabled
     top_p: float = 1.0  # >= 1: disabled
+    # per-request stop tokens (beyond the reference): they EXTEND the
+    # model's EOS set for this request; ignore_eos (a benchmarking knob)
+    # disables both. Requests with stops take the per-round overlap path
+    # like top_k/top_p (the fused program's stop set is the global EOS).
+    stop_token_ids: tuple = ()
 
 
 @dataclass

@@ -101,11 +101,14 @@ class PearlOrchestrator:
         return tk, tp
 
     def _filtering_active(self) -> bool:
-        """True when any live request uses top-k/top-p — those take the
-        per-round overlap path (the fused on-device loop's sampler is
-        greedy/temperature only)."""
+        """True when any live request uses top-k/top-p or per-request
+        stop tokens — those take the per-round overlap path (the fused
+        on-device loop's sampler is greedy/temperature only and its stop
+        set is the global EOS)."""
         pool = list(self.scheduler.running) + list(self.scheduler.waiting)
-        return any(s.top_k > 0 or s.top_p < 1.0 for s in pool)
+        return any(
+            s.top_k > 0 or s.top_p < 1.0 or s.stop_token_ids for s in pool
+        )
 
     def _m_pad(self, views) -> int:
         m = max(len(v.block_table) for v in views)
@@ -190,7 +193,8 @@ class PearlOrchestrator:
             # scheduler.py:74-81)
             for i, seq in enumerate(list(seqs)):
                 tok = int(toks_t[i])
-                if (not seq.ignore_eos and is_eos(tok, self.scheduler.eos)) or (
+                stopped = is_eos(tok, self.scheduler.eos) or tok in seq.stop_token_ids
+                if (not seq.ignore_eos and stopped) or (
                     seq.num_completion_tokens == seq.max_tokens
                 ):
                     self.scheduler.finish(seq)
@@ -291,9 +295,23 @@ class PearlOrchestrator:
             ignore_eos[i] = s.ignore_eos
             temps[i] = s.temperature
         tk, tp = self._tk_tp(seqs, b_pad)
+        stops = None
+        if any(s.stop_token_ids for s in seqs):
+            # per-request stop matrix: global EOS plus this request's
+            # stops, -1 padded (never matches a real token id)
+            eos = self.scheduler.eos
+            width = len(eos) + max(len(s.stop_token_ids) for s in seqs)
+            stops = np.full((b_pad, width), -1, np.int32)
+            stops[:, : len(eos)] = eos
+            for i, s in enumerate(seqs):
+                if s.stop_token_ids:
+                    stops[i, len(eos) : len(eos) + len(s.stop_token_ids)] = (
+                        s.stop_token_ids
+                    )
         res = self.target.verdict(
             logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
             ignore_eos, self._next_seed(), gamma, top_ks=tk, top_ps=tp,
+            stops=stops,
         )
 
         # 7: fetch the 5 verdict vectors

@@ -556,8 +556,14 @@ class GroupRunner:
         )
         return logits
 
-    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int, top_ks=None, top_ps=None):
-        eos_ids = np.asarray(self.cfg.eos_ids, np.int32)
+    def verdict(self, logits, tbv, is_pre, temps, num_completion, max_tokens, ignore_eos, seed: int, gamma: int, top_ks=None, top_ps=None, stops=None):
+        # stops: optional [B, S] per-request stop matrix (global EOS plus
+        # request stop_token_ids, -1 padded); None -> the global EOS list
+        eos_ids = (
+            np.asarray(stops, np.int32)
+            if stops is not None
+            else np.asarray(self.cfg.eos_ids, np.int32)
+        )
         greedy_only = bool(np.all(np.asarray(temps) == 0.0))
         filtered = top_ks is not None and not greedy_only
         b = np.asarray(temps).shape[0]

@@ -143,6 +143,19 @@ class Scheduler:
         return False
 
     def finish(self, seq: Sequence):
+        # Per-request stops truncate the completion at the first hit
+        # (serving semantics; PEARL's accept-finish may have committed up
+        # to gamma tokens past it in the same window). EOS keeps the
+        # reference's untrimmed behavior (overshoot <= gamma, deviation
+        # documented in PARITY.md). Safe for streaming: the rollback-proof
+        # frontier (len - gamma) never passes the stop before finish.
+        if seq.stop_token_ids and not seq.ignore_eos:
+            comp = seq.completion_token_ids
+            for k, t in enumerate(comp):
+                if t in seq.stop_token_ids:
+                    if len(comp) - (k + 1):
+                        seq.target.truncate(len(comp) - (k + 1))
+                    break
         seq.status = SequenceStatus.FINISHED
         self.draft_bm.deallocate(seq.draft)
         self.target_bm.deallocate(seq.target)
@@ -155,7 +168,8 @@ class Scheduler:
         target model only) and finish on EOS/max_tokens."""
         for seq, token_id in zip(seqs, token_ids):
             seq.target.append(token_id)
-            if (not seq.ignore_eos and is_eos(token_id, self.eos)) or (
+            stopped = is_eos(token_id, self.eos) or token_id in seq.stop_token_ids
+            if (not seq.ignore_eos and stopped) or (
                 seq.num_completion_tokens == seq.max_tokens
             ):
                 self.finish(seq)

@@ -84,6 +84,7 @@ class Sequence:
         self.ignore_eos = sampling_params.ignore_eos
         self.top_k = sampling_params.top_k
         self.top_p = sampling_params.top_p
+        self.stop_token_ids = tuple(sampling_params.stop_token_ids)
         # PEARL state (reference: sequence.py:30-32)
         self.pre_verify = True
         self.num_acc_tokens: list[int] = []

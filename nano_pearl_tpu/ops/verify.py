@@ -51,7 +51,8 @@ def verify_verdict(
     num_completion: jax.Array,  # [B] i32 target-side completion count pre-update
     max_tokens: jax.Array,  # [B] i32
     ignore_eos: jax.Array,  # [B] bool
-    eos_ids: jax.Array,  # [E] i32 (static-length)
+    eos_ids: jax.Array,  # [E] i32 global stop set, or [B, S] per-request
+    #   stop matrix (EOS plus each request's stop_token_ids, -1 padded)
     key: jax.Array,
     gamma: int,
     greedy: bool = False,
@@ -83,7 +84,10 @@ def verify_verdict(
         masked_logits = jnp.where(onehot, NEG_INF, logits.astype(jnp.float32))
         revised = sample(masked_logits, jnp.broadcast_to(temps, (b, g)), ks)  # [B, G]
 
-    is_eos_tok = (tbv[..., None] == eos_ids[None, None, :]).any(-1)  # [B, G]
+    stops = (
+        eos_ids if eos_ids.ndim == 2 else jnp.broadcast_to(eos_ids[None, :], (b, eos_ids.shape[0]))
+    )  # [B, S]
+    is_eos_tok = (tbv[..., None] == stops[:, None, :]).any(-1)  # [B, G]
 
     # --- post-verify: n = index of first rejection (gamma if none) ---
     rej = ~judge
@@ -111,7 +115,7 @@ def verify_verdict(
     rollout_pre = jnp.where(j0, 0, gamma)
     revise_pre = revised[:, 0]
     finish_tok = jnp.where(j0, tbv[:, 0], revise_pre)
-    finish_eos = (finish_tok[:, None] == eos_ids[None, :]).any(-1)
+    finish_eos = (finish_tok[:, None] == stops).any(-1)
     finish_pre = (finish_eos & ~ignore_eos) | (num_completion >= max_tokens - 1)
     n_pre = jnp.where(j0, 1, 0).astype(jnp.int32)
 

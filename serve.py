@@ -246,6 +246,9 @@ def make_handler(server: PearlServer):
                     ignore_eos=bool(req.get("ignore_eos", False)),
                     top_k=int(req.get("top_k", 0)),
                     top_p=float(req.get("top_p", 1.0)),
+                    stop_token_ids=tuple(
+                        int(t) for t in req.get("stop_token_ids", ())
+                    ),
                 )
                 if req.get("stream", False):
                     return self._stream(req["prompt"], params)
