@@ -44,7 +44,7 @@ def _prefill_self_kernel(
     q_ref,  # [1, TQ, Hq, D]
     k_ref,  # [1, TK, Hkv, D]
     v_ref,  # [1, TK, Hkv, D]
-    kpos_ref,  # [1, TK] int32 key positions (-1 = padded row)
+    kpos_ref,  # [1, 1, TK] int32 key positions (-1 = padded row)
     o_ref,  # [1, TQ, Hq, D]
     m_scr, l_scr, acc_scr,
     *, scale: float, tq: int, tk: int, num_kv_heads: int,
@@ -86,7 +86,7 @@ def _prefill_self_kernel(
         flat_i = jax.lax.broadcasted_iota(jnp.int32, (rows, tk), 0)
         i_idx = (flat_i % (tq * g)) // g  # query row within the tile
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, tk), 1)
-        kvalid = kpos_ref[...] >= 0  # [1, TK] broadcasts over rows
+        kvalid = kpos_ref[0] >= 0  # [1, TK] broadcasts over rows
         visible = ((k_start + j_idx) <= (q_start + i_idx)) & kvalid
         s2 = jnp.where(visible, s2, NEG_INF)
 
@@ -166,7 +166,11 @@ def prefill_self_attention_pallas(
             pl.BlockSpec(
                 (1, tile, hkv, d), lambda bi, qi, ki: (bi, _ki_eff(bi, qi, ki), 0, 0)
             ),
-            pl.BlockSpec((1, tile), lambda bi, qi, ki: (bi, _ki_eff(bi, qi, ki))),
+            # singleton middle axis: Mosaic requires a block's last two
+            # dims to be (divisible by (8, 128)) OR equal to the array's
+            # — (1, tile) on [b, lpad] fails for b > 1, so the positions
+            # ride as [b, 1, lpad] with block (1, 1, tile)
+            pl.BlockSpec((1, 1, tile), lambda bi, qi, ki: (bi, 0, _ki_eff(bi, qi, ki))),
         ],
         out_specs=pl.BlockSpec((1, tile, hq, d), lambda bi, qi, ki: (bi, qi, 0, 0)),
         scratch_shapes=[
@@ -182,5 +186,5 @@ def prefill_self_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, lpad, hq, d), q.dtype),
         interpret=interpret,
-    )(qb, kb, vb, kpos)
+    )(qb, kb, vb, kpos[:, None, :])
     return out[:, :lq].reshape(n, hq, d)
