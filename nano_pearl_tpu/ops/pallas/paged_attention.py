@@ -338,13 +338,18 @@ def _init_scratch_floor(m_scr, l_scr, acc_scr):
 
 
 def _sr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr):
+    # m/l refs are [1, 1, Hq] blocks: Mosaic requires the last two block
+    # dims divisible by (8, 128) or equal to the array dims, which a 2D
+    # [1, Hq] block violates for N not a multiple of 8 — so the wrapper
+    # ships [N, 1, Hq] arrays and squeezes outside the kernel.
     denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
     o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
-    m_ref[0, :] = m_scr[:, 0]
-    l_ref[0, :] = l_scr[:, 0]
+    m_ref[0, 0, :] = m_scr[:, 0]
+    l_ref[0, 0, :] = l_scr[:, 0]
 
 
 def _gr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, num_kv_heads):
+    # m/l refs are [1, R, Hq] blocks (see _sr_finalize_partial).
     r, hq, d = o_ref.shape
     g = hq // num_kv_heads
     denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
@@ -357,10 +362,10 @@ def _gr_finalize_partial(o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, num_kv_head
             jax.lax.slice(out, (sl[0], 0), (sl[1], d)).reshape(r, g, d)
             .astype(o_ref.dtype)
         )
-        m_ref[:, kh * g : (kh + 1) * g] = jax.lax.slice(
+        m_ref[0, :, kh * g : (kh + 1) * g] = jax.lax.slice(
             m_all, (sl[0], 0), (sl[1], 1)
         ).reshape(r, g)
-        l_ref[:, kh * g : (kh + 1) * g] = jax.lax.slice(
+        l_ref[0, :, kh * g : (kh + 1) * g] = jax.lax.slice(
             l_all, (sl[0], 0), (sl[1], 1)
         ).reshape(r, g)
 
@@ -648,7 +653,7 @@ def paged_attention_pallas_partials(
             _kernel_partial_q8, scale=scale, block_size=bs, num_kv_heads=hkv
         )
 
-    row_spec = pl.BlockSpec((1, hq), lambda ni, mi, btk, btv, cl, loc: (ni, 0))
+    row_spec = pl.BlockSpec((1, 1, hq), lambda ni, mi, btk, btv, cl, loc: (ni, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n, m),
@@ -664,16 +669,17 @@ def paged_attention_pallas_partials(
             pltpu.VMEM((hq, d), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    o, m_out, l_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, hq, d), q.dtype),
-            jax.ShapeDtypeStruct((n, hq), jnp.float32),
-            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, hq), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, hq), jnp.float32),
         ],
         interpret=interpret,
     )(bt_k, bt_v, context_lens, is_local.astype(jnp.int32), *inputs)
+    return o, m_out.reshape(n, hq), l_out.reshape(n, hq)
 
 
 def paged_attention_pallas_grouped_partials(
@@ -734,7 +740,7 @@ def paged_attention_pallas_grouped_partials(
             num_kv_heads=hkv, rows=r,
         )
 
-    row_spec = pl.BlockSpec((r, hq), lambda bi, mi, btk, btv, cl, loc: (bi, 0))
+    row_spec = pl.BlockSpec((1, r, hq), lambda bi, mi, btk, btv, cl, loc: (bi, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, m),
@@ -750,16 +756,17 @@ def paged_attention_pallas_grouped_partials(
             pltpu.VMEM((hkv * r * g, d), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    o, m_out, l_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, hq, d), q.dtype),
-            jax.ShapeDtypeStruct((n, hq), jnp.float32),
-            jax.ShapeDtypeStruct((n, hq), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, hq), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, hq), jnp.float32),
         ],
         interpret=interpret,
     )(bt_k, bt_v, context_lens, is_local.astype(jnp.int32), *inputs)
+    return o, m_out.reshape(n, hq), l_out.reshape(n, hq)
 
 
 def paged_attention_pallas(
