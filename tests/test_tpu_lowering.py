@@ -1,0 +1,129 @@
+"""Mosaic TPU lowering checks for every Pallas kernel wrapper — on CPU.
+
+Interpret mode (the rest of the suite) validates kernel NUMERICS but
+skips Mosaic's lowering rules (block-shape divisibility, memory spaces,
+layout constraints), so a kernel can pass every CPU test and still fail
+to compile on a real chip — exactly what happened to the partial-output
+kernels' 2D (1, Hq) output blocks. ``jax.jit(f).trace(...).lower(
+lowering_platforms=("tpu",))`` runs the full Mosaic lowering pipeline
+without TPU hardware; these tests lower each wrapper at deliberately
+awkward shapes (row counts not multiples of 8, non-power-of-2 rows per
+group, bf16 + int8 + fp8 caches).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nano_pearl_tpu.ops.kv_cache import make_kv_cache
+from nano_pearl_tpu.ops.pallas.paged_attention import (
+    paged_attention_pallas,
+    paged_attention_pallas_grouped,
+    paged_attention_pallas_grouped_partials,
+    paged_attention_pallas_partials,
+)
+from nano_pearl_tpu.ops.pallas.prefill_attention import prefill_self_attention_pallas
+
+L, NB, BS, HKV, D, HQ = 2, 6, 16, 2, 128, 8
+SCALE = D**-0.5
+
+
+def _lower_tpu(f, *args):
+    jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def _cache(quant):
+    return make_kv_cache(L, NB, BS, HKV, D, jnp.bfloat16, quant=quant)
+
+
+QUANTS = [None, "int8", "fp8"]
+
+
+@pytest.mark.parametrize("quant", QUANTS)
+@pytest.mark.parametrize("n", [1, 5, 8])  # incl. rows not multiples of 8
+def test_lower_decode(quant, n):
+    m = 3
+    args = (
+        jnp.zeros((n, HQ, D), jnp.bfloat16),
+        _cache(quant),
+        jnp.int32(0),
+        jnp.zeros((n, m), jnp.int32),
+        jnp.ones((n,), jnp.int32),
+    )
+    _lower_tpu(lambda q, c, li, bt, cl: paged_attention_pallas(q, c, li, bt, cl, SCALE), *args)
+
+
+@pytest.mark.parametrize("quant", QUANTS)
+@pytest.mark.parametrize("b,r", [(1, 3), (3, 7), (2, 14)])  # odd rows-per-group
+def test_lower_grouped(quant, b, r):
+    m = 3
+    args = (
+        jnp.zeros((b * r, HQ, D), jnp.bfloat16),
+        _cache(quant),
+        jnp.int32(0),
+        jnp.zeros((b, m), jnp.int32),
+        jnp.ones((b * r,), jnp.int32),
+    )
+    _lower_tpu(
+        lambda q, c, li, bt, cl: paged_attention_pallas_grouped(
+            q, c, li, bt, cl, SCALE, rows_per_group=r
+        ),
+        *args,
+    )
+
+
+@pytest.mark.parametrize("quant", QUANTS)
+@pytest.mark.parametrize("n", [1, 6])
+def test_lower_partials(quant, n):
+    m = 4
+    args = (
+        jnp.zeros((n, HQ, D), jnp.bfloat16),
+        _cache(quant),
+        jnp.int32(0),
+        jnp.zeros((n, m), jnp.int32),
+        jnp.ones((n,), jnp.int32),
+        jnp.ones((n, m), jnp.int32),
+    )
+    _lower_tpu(
+        lambda q, c, li, bt, cl, loc: paged_attention_pallas_partials(
+            q, c, li, bt, cl, loc, SCALE
+        ),
+        *args,
+    )
+
+
+@pytest.mark.parametrize("quant", QUANTS)
+@pytest.mark.parametrize("b,r", [(1, 5), (3, 7)])
+def test_lower_grouped_partials(quant, b, r):
+    m = 4
+    args = (
+        jnp.zeros((b * r, HQ, D), jnp.bfloat16),
+        _cache(quant),
+        jnp.int32(0),
+        jnp.zeros((b, m), jnp.int32),
+        jnp.ones((b * r,), jnp.int32),
+        jnp.ones((b, m), jnp.int32),
+    )
+    _lower_tpu(
+        lambda q, c, li, bt, cl, loc: paged_attention_pallas_grouped_partials(
+            q, c, li, bt, cl, loc, SCALE, rows_per_group=r
+        ),
+        *args,
+    )
+
+
+@pytest.mark.parametrize("b,lq", [(1, 64), (3, 40), (2, 200)])  # lq < and > 128
+def test_lower_prefill_self(b, lq):
+    n = b * lq
+    args = (
+        jnp.zeros((n, HQ, D), jnp.bfloat16),
+        jnp.zeros((n, HKV, D), jnp.bfloat16),
+        jnp.zeros((n, HKV, D), jnp.bfloat16),
+        jnp.zeros((b, lq), jnp.int32),
+    )
+    _lower_tpu(
+        lambda q, k, v, qp: prefill_self_attention_pallas(
+            q, k, v, 0, None, qp, SCALE
+        ),
+        *args,
+    )
