@@ -155,7 +155,14 @@ def main():
         t_lo, t_hi = run(args.lo), run(args.hi)
         return (t_hi - t_lo) / (args.hi - args.lo)
 
-    results = {}
+    class _Results(dict):
+        # print incrementally: compiles are minutes-long over the tunnel
+        # and a timed-out run should still leave its finished numbers
+        def __setitem__(self, k, v):
+            print(f"  [{k}] {v*1e3:.3f} ms", flush=True)
+            super().__setitem__(k, v)
+
+    results = _Results()
 
     # ---- 1. full verify forward (kv carried = real dependency chain;
     # logits folded into the carry so the lm head isn't DCE'd)
