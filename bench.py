@@ -29,10 +29,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Tunnel-crash resilience (round-1 postmortem: BENCH_r01 died on a
+# transient "UNAVAILABLE: TPU worker process crashed or restarted" — the
+# known axon-tunnel failure mode after any process with in-flight TPU
+# work is killed; it self-recovers in ~1 min). A crashed backend poisons
+# the in-process JAX client, so retrying means re-exec'ing the whole
+# process: fresh client, warm persistent compile cache.
+_MAX_ATTEMPTS = 3
+_RETRY_DELAY_S = 75
+
+
+def _retryable(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return "UNAVAILABLE" in s or "worker process crashed" in s
+
+
+def _phase(name: str, t0: float):
+    print(f"[bench] {name}: {time.perf_counter() - t0:.1f} s", file=sys.stderr, flush=True)
 
 
 def parse_args():
@@ -98,11 +117,27 @@ def parse_args():
         "--repeats", type=int, default=2,
         help="measurement repeats; best throughput kept (tunnel-noise guard)",
     )
+    p.add_argument(
+        "--draft-noise", type=float, default=0.0,
+        help="relative gaussian noise applied to the DRAFT's layer weights "
+        "in the layer-share scenario: the target keeps the clean weights, "
+        "so acceptance drops below the MAT==gamma ceiling and the "
+        "rejection/rollback/pre-verify path is exercised at rate. "
+        "Calibration on v5e (36L/3L pair): 0.02 -> MAT~20, 0.05 -> MAT~9, "
+        "0.12 -> MAT~4 (the reference's AIME/HumanEval/CNNDM regimes, "
+        "reference: docs/bench_summary.md:3-34)",
+    )
     return p.parse_args()
 
 
-def build_layer_share_pair(mc_draft, mc_target, seed):
-    """Draft params + identity-extended target params (see module doc)."""
+def build_layer_share_pair(mc_draft, mc_target, seed, draft_noise=0.0):
+    """Draft params + identity-extended target params (see module doc).
+
+    With ``draft_noise`` > 0 the draft's transformer-layer weights are
+    perturbed by relative gaussian noise AFTER the target copies them, so
+    the two models genuinely disagree: acceptance becomes partial and the
+    verify/rollback machinery runs under realistic load instead of at the
+    100%-acceptance ceiling (round-1 verdict item 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,13 +162,25 @@ def build_layer_share_pair(mc_draft, mc_target, seed):
             "final_ln": dp["final_ln"],
             "lm_head": dp["lm_head"],
         }
-        return dp, tp
+        if draft_noise > 0.0:
+            nkey = jax.random.key(s + 2)
+            noisy = {}
+            for k, v in dp["layers"].items():
+                nkey, sub = jax.random.split(nkey)
+                scale = draft_noise * jnp.std(v.astype(jnp.float32))
+                noisy[k] = (
+                    v.astype(jnp.float32)
+                    + scale * jax.random.normal(sub, v.shape, jnp.float32)
+                ).astype(v.dtype)
+            dp_out = dict(dp, layers=noisy)
+        else:
+            dp_out = dp
+        return dp_out, tp
 
     return build(jnp.int64(seed))
 
 
-def main():
-    args = parse_args()
+def run(args):
     if args.quick:
         args.batch = min(args.batch, 4)
         args.hidden, args.ffn, args.heads, args.kv_heads = 256, 1024, 4, 2
@@ -154,10 +201,11 @@ def main():
 
     import jax
 
-    # Persistent compile cache: the fused whole-loop programs are large
-    # (minutes through the remote compiler); repeat bench runs hit cache.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # Persistent compile cache in a session-durable directory (also set
+    # by PearlEngine itself; doing it here too covers the pair builder)
+    from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from nano_pearl_tpu import PearlEngine
     from nano_pearl_tpu.config import ModelConfig, PearlConfig, SamplingParams
@@ -188,16 +236,22 @@ def main():
             **{k: v for k, v in moe_fields.items() if k != "architecture"},
         )
 
+    t0 = time.perf_counter()
     if args.draft_model and args.target_model:
         draft_model, target_model = args.draft_model, args.target_model
         dparams = tparams = None
         scenario = "checkpoints"
     else:
         draft_model, target_model = mc(args.draft_layers), mc(args.target_layers)
-        dparams, tparams = build_layer_share_pair(draft_model, target_model, args.seed)
+        dparams, tparams = build_layer_share_pair(
+            draft_model, target_model, args.seed, args.draft_noise
+        )
         scenario = f"layer-share {args.draft_layers}L/{args.target_layers}L"
         if args.moe:
             scenario += f" moe{args.experts}x{args.topk}"
+        if args.draft_noise:
+            scenario += f" noise{args.draft_noise:g}"
+    _phase("build pair", t0)
 
     max_len = max(256, 1 << (args.prompt_len + args.steps * (args.gamma + 1) + 64).bit_length())
     cfg = PearlConfig(
@@ -217,41 +271,61 @@ def main():
         draft_quant=args.quant,
         target_quant=args.quant,
     )
+    t0 = time.perf_counter()
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
+    _phase("engine build", t0)
 
     rng = np.random.default_rng(args.seed)
 
-    def add_requests(n=None):
+    def add_requests(n=None, max_tokens=None):
         for _ in range(n or args.batch):
             prompt = rng.integers(2, args.vocab - 1, args.prompt_len).tolist()
             engine.add_request(
                 prompt,
-                SamplingParams(temperature=0.0, max_tokens=args.ar_max_tokens, ignore_eos=True),
+                SamplingParams(
+                    temperature=0.0,
+                    max_tokens=max_tokens or args.ar_max_tokens,
+                    ignore_eos=True,
+                ),
             )
 
-    # ---- warmup: compile every program (reference: bench.py warmup pass)
-    add_requests(min(args.batch, args.batch))
-    engine.bench_generate(num_pearl_steps=2)
+    # ---- warmup: compile every program (reference: bench.py warmup
+    # pass). Each warmup runs only a few steps but reserves KV for the
+    # measured run's step count, so it compiles the IDENTICAL fused
+    # program (block-table width is a compiled shape) — round 1 instead
+    # burned a full-length AR generation here and still paid a compile
+    # inside the first measured repeat.
+    ar_steps = args.ar_max_tokens - 1  # prefill commits 1 token/seq
+    t0 = time.perf_counter()
     add_requests()
-    engine.AR_generate_token_ids()
+    engine.bench_generate(num_pearl_steps=2, reserve_steps=args.steps)
+    _phase("warmup pearl", t0)
+    t0 = time.perf_counter()
+    add_requests()
+    engine.AR_bench_generate(num_steps=4, reserve_steps=ar_steps)
+    _phase("warmup ar", t0)
 
     # ---- PEARL fixed-step measurement (best of --repeats: the chip is
     # reached over a shared tunnel; contention only ever slows a run down)
     pearl_tps, mat = 0.0, 0.0
     for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
         add_requests()
         _, num_tokens, num_acc, pearl_t = engine.bench_generate(num_pearl_steps=args.steps)
         tps = sum(num_tokens) / pearl_t
         if tps > pearl_tps:
             mats = [sum(a) / max(1, len(a)) for a in num_acc]
             pearl_tps, mat = tps, float(np.mean(mats))
+        _phase(f"pearl run ({tps:.0f} tok/s)", t0)
 
-    # ---- AR baseline
+    # ---- AR baseline (fixed-step, same constant-batch protocol)
     ar_tps = 0.0
     for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
         add_requests()
-        _, ar_tokens, _, ar_t = engine.AR_generate_token_ids()
+        _, ar_tokens, _, ar_t = engine.AR_bench_generate(num_steps=ar_steps)
         ar_tps = max(ar_tps, sum(ar_tokens) / ar_t)
+        _phase(f"ar run ({sum(ar_tokens) / ar_t:.0f} tok/s)", t0)
 
     speedup = pearl_tps / ar_tps
     result = {
@@ -270,6 +344,26 @@ def main():
     }
     print(json.dumps(result))
     return 0
+
+
+def main():
+    args = parse_args()
+    try:
+        return run(args)
+    except Exception as e:  # noqa: BLE001 — retry only the known transient
+        attempt = int(os.environ.get("NANO_PEARL_BENCH_ATTEMPT", "0"))
+        if not _retryable(e) or attempt + 1 >= _MAX_ATTEMPTS:
+            raise
+        print(
+            f"[bench] attempt {attempt + 1}/{_MAX_ATTEMPTS} hit a transient "
+            f"backend crash ({type(e).__name__}); backing off {_RETRY_DELAY_S} s "
+            "and re-exec'ing (fresh JAX client, warm compile cache)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(_RETRY_DELAY_S)
+        os.environ["NANO_PEARL_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 if __name__ == "__main__":

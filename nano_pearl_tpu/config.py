@@ -265,6 +265,12 @@ class PearlConfig:
     target_kv_quant: str | None = None
     # use the native C++ block-manager core (native/block_manager.cc)
     native_block_manager: bool = False
+    # Pre-compile the serving-path programs at engine init (reference:
+    # warmup_model, pearl_model_runner.py:333-344 warms the max-shape
+    # prefill before serving). False: compile lazily on first use (first
+    # requests pay the compiles). True: warm batch bucket 1. A tuple of
+    # batch sizes warms each of those decode buckets.
+    warmup: bool | tuple = False
     # "disjoint": draft/target on separate device slices (overlap-friendly)
     # "union": both models TP-sharded over ALL devices (fused-friendly,
     #   full ICI width per model; needs draft_tp == target_tp == n_devices)

@@ -86,39 +86,55 @@ class DataParallelEngine:
         start = time.perf_counter()
         # phase 1: prefill + first chunk dispatch per replica (their fused
         # programs start executing concurrently on disjoint devices)
-        runs = []
+        engines = []
+        final: dict[int, object] = {}  # id(eng) -> current run handle
+        active = []
         for eng in self.replicas:
             if eng.scheduler.is_finished():
                 continue
             orch = eng.orchestrator
             orch.prefill_all()
+            engines.append(eng)
             if orch.fused is None:
                 # non-fused replica (disjoint sub-meshes inside the
                 # replica): run it to completion on its own
                 while not eng.scheduler.is_finished():
                     orch.pearl_round(orch._pick_gamma())
-                runs.append((eng, None, True))
+                final[id(eng)] = None
                 continue
             gamma = orch._pick_gamma() if eng.scheduler.running else 1
             run = orch.start_fused(gamma)
-            dispatched_all = orch.step_fused(run) if run is not None else True
-            runs.append((eng, run, dispatched_all))
+            final[id(eng)] = run
+            if run is not None and not orch.step_fused(run):
+                active.append(eng)
 
         # phase 2: round-robin chunk dispatches until every replica's rows
-        # finish; each probe only waits on that replica's own stream
-        active = [(e, r) for (e, r, done) in runs if r is not None and not done]
+        # finish; each probe only waits on that replica's own stream. A
+        # run stalled on KV pressure is synced back and restarted (its
+        # rescheduling preempts to make room — see pearl.start_fused).
         while active:
             nxt = []
-            for eng, run in active:
-                if eng.orchestrator.probe_fused(run):
+            for eng in active:
+                orch = eng.orchestrator
+                run = final[id(eng)]
+                if orch.probe_fused(run):
                     continue
-                if not eng.orchestrator.step_fused(run):
-                    nxt.append((eng, run))
+                done = orch.step_fused(run)
+                if not done:
+                    nxt.append(eng)
+                    continue
+                if run["stalled"]:
+                    orch.end_fused(run)
+                    run = orch.start_fused(run["gamma"])
+                    final[id(eng)] = run
+                    if run is not None and not orch.step_fused(run):
+                        nxt.append(eng)
             active = nxt
 
         # phase 3: sync every replica's state back to its sequences
         results = []
-        for eng, run, _ in runs:
+        for eng in engines:
+            run = final[id(eng)]
             if run is not None:
                 eng.orchestrator.end_fused(run)
             finished = eng.scheduler.finished

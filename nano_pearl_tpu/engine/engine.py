@@ -38,6 +38,9 @@ class PearlEngine:
         weights (tests, weightless benchmarks); otherwise weights load
         from each model's checkpoint directory."""
         self.config = config
+        from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         draft_mesh, target_mesh = build_group_meshes(
             config.draft_tp, config.target_tp, config.devices, config.placement,
             draft_sp=config.draft_sp, target_sp=config.target_sp,
@@ -60,6 +63,10 @@ class PearlEngine:
         self._lat = deque(maxlen=512)
         if config.gamma == -1:
             self.orchestrator.auto_set_gamma()
+        if config.warmup:
+            self.warmup(
+                batches=config.warmup if isinstance(config.warmup, tuple) else (1,)
+            )
         logger.info("PearlEngine ready.", color="green")
 
     def _maybe_tokenizer(self):
@@ -140,13 +147,53 @@ class PearlEngine:
         self.scheduler.clear()
         return token_ids, num_tokens, None, elapsed
 
-    def bench_generate(self, num_pearl_steps: int = 100):
-        """Fixed-step throughput benchmark (reference: pearl_engine.py:152-164)."""
-        elapsed = self.orchestrator.bench_loop(num_pearl_steps)
+    def bench_generate(self, num_pearl_steps: int = 100, reserve_steps: int | None = None):
+        """Fixed-step throughput benchmark (reference: pearl_engine.py:152-164).
+        ``reserve_steps``: reserve KV as if that many steps would run —
+        a short warmup call then compiles the measured run's exact fused
+        program (block-table width is a compiled shape)."""
+        elapsed = self.orchestrator.bench_loop(num_pearl_steps, reserve_steps)
         running = [s for s in self.scheduler.running]
         texts, num_tokens, num_acc, _ = self._collect(running + self.scheduler.finished)
         self.scheduler.clear()
         return texts, num_tokens, num_acc, elapsed
+
+    def AR_bench_generate(self, num_steps: int = 100, reserve_steps: int | None = None):
+        """Fixed-step target-only AR benchmark — the baseline twin of
+        bench_generate (same constant-batch protocol; the reference's AR
+        baseline instead runs to max_tokens, pearl_engine.py:137-150)."""
+        elapsed = self.orchestrator.ar_bench_loop(num_steps, reserve_steps)
+        running = [s for s in self.scheduler.running]
+        _, num_tokens, _, token_ids = self._collect(running + self.scheduler.finished)
+        self.scheduler.clear()
+        return token_ids, num_tokens, None, elapsed
+
+    def warmup(self, batches=(1,), prompt_len: int = 16, rounds: int = 2):
+        """Pre-compile the serving-path programs (prefill, fused PEARL
+        chunk, verdict) for the given decode batch buckets by driving
+        dummy requests through real serve rounds, then discarding all
+        state (reference: warmup_model, pearl_model_runner.py:333-344).
+        After this, a request at one of the warmed buckets pays zero
+        compile latency — TTFT is pure compute."""
+        from nano_pearl_tpu.utils.logging import logger as _log
+
+        t0 = time.perf_counter()
+        for b in batches:
+            b = min(b, self.config.max_num_seqs)
+            for i in range(b):
+                self.add_request(
+                    [2 + (i % 7)] * prompt_len,
+                    SamplingParams(
+                        temperature=0.0,
+                        max_tokens=rounds * max(self.config.gamma, 1) + 2,
+                        ignore_eos=True,
+                    ),
+                )
+            while self.has_work:
+                self.orchestrator.serve_round()
+            self.scheduler.finished.clear()
+        self.scheduler.clear()
+        _log.info(f"warmup({batches}) compiled in {time.perf_counter() - t0:.1f} s")
 
     # ------------------------------------------------- continuous serving
 

@@ -39,7 +39,7 @@ import numpy as np
 from nano_pearl_tpu.config import PearlConfig
 from nano_pearl_tpu.engine.runner import GroupRunner
 from nano_pearl_tpu.models.transformer import compute_logits
-from nano_pearl_tpu.ops.sampling import greedy, sample
+from nano_pearl_tpu.ops.sampling import apply_top_k_top_p, greedy, sample
 from nano_pearl_tpu.ops.verify import verify_verdict
 
 
@@ -62,11 +62,13 @@ class FusedPearl:
         # constants (gigabytes of weights -> pathological compiles)
         self._jit_pearl = jax.jit(
             self._pearl_rounds_impl,
-            static_argnames=("gamma", "greedy_only"),
+            static_argnames=("gamma", "greedy_only", "filtered"),
             donate_argnums=(4, 5, 6),  # dkv, tkv, tokens
         )
         self._jit_ar = jax.jit(
-            self._ar_rounds_impl, static_argnames="greedy_only", donate_argnums=(2, 3)
+            self._ar_rounds_impl,
+            static_argnames=("greedy_only", "filtered"),
+            donate_argnums=(2, 3),
         )
 
     @staticmethod
@@ -127,7 +129,7 @@ class FusedPearl:
         self, dparams, tparams, dropes, dkv, tkv, tokens, length, pre, finished,
         cur_acc, emitted, emit_cnt,
         bt_d, bt_t, temps, max_tokens, ignore_eos, prompt_len, eos_ids,
-        num_rounds, seed0, *, gamma, greedy_only=False,
+        tk, tp, num_rounds, seed0, *, gamma, greedy_only=False, filtered=False,
     ):
         drope, trope = dropes
         """num_rounds PEARL rounds (early exit when all rows finish)."""
@@ -155,6 +157,14 @@ class FusedPearl:
             tbv = jnp.take_along_axis(tokens, idx, axis=1)
             tbv = jnp.where(g_j == (num_input[:, None] - 1), G[:, :1], tbv)
 
+            if filtered:
+                # per-request top-k/top-p filter the accept-test and
+                # revise distributions exactly as the overlap path does
+                # (runner._verdict_impl; round-1 gap: any filtered request
+                # forced the whole engine off the fused loop)
+                logits = apply_top_k_top_p(
+                    logits, tk[:, None], tp[:, None], temps[:, None]
+                )
             res = verify_verdict(
                 logits, tbv, pre, temps, length - prompt_len, max_tokens,
                 ignore_eos, eos_ids, jax.random.key(seed0 + i), gamma,
@@ -202,7 +212,8 @@ class FusedPearl:
 
     def _ar_rounds_impl(
         self, tparams, trope, tkv, tokens, length, finished, bt_t, temps, max_tokens,
-        ignore_eos, prompt_len, eos_ids, num_steps, seed0, *, greedy_only=False,
+        ignore_eos, prompt_len, eos_ids, tk, tp, num_steps, seed0,
+        *, greedy_only=False, filtered=False,
     ):
         """num_steps target-only greedy/temperature decode steps in one
         program (the fused counterpart of reference step(), :319-331)."""
@@ -226,13 +237,16 @@ class FusedPearl:
             if greedy_only:
                 nxt = greedy(logits)
             else:
+                if filtered:
+                    logits = apply_top_k_top_p(logits, tk, tp, temps)
                 nxt = sample(logits, temps, jax.random.key(seed0 + i))
             active = ~finished
             tokens = jax.vmap(
                 lambda row, t, l: jax.lax.dynamic_update_slice(row, t[None], (l,))
             )(tokens, jnp.where(active, nxt, 0), length)
             length = jnp.where(active, length + 1, length)
-            is_eos = (nxt[:, None] == eos_ids[None, :]).any(-1)
+            stops = eos_ids if eos_ids.ndim == 2 else eos_ids[None, :]
+            is_eos = (nxt[:, None] == stops).any(-1)
             fin = ((~ignore_eos) & is_eos) | (length - prompt_len >= max_tokens)
             finished = finished | (fin & active)
             return (i + 1, tkv, tokens, length, finished)
@@ -243,10 +257,23 @@ class FusedPearl:
 
     # ----------------------------------------------------------- host API
 
+    @staticmethod
+    def _filter_args(state):
+        """(tk, tp, filtered): per-row top-k/top-p from the state dict;
+        ``filtered`` is False (compiling the sort-free program) when every
+        row has filtering disabled or the whole batch is greedy (argmax
+        is invariant under the filter — its top-1 always survives)."""
+        greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
+        tk, tp = state["tk"], state["tp"]
+        filtered = not greedy_only and bool(
+            np.any(np.asarray(tk) > 0) or np.any(np.asarray(tp) < 1.0)
+        )
+        return tk, tp, filtered, greedy_only
+
     def run_pearl(self, state: dict, gamma: int, num_rounds: int, seed0: int):
         """state: dict of np/device arrays (see orchestrator); returns the
         updated dict. One dispatch regardless of num_rounds."""
-        greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
+        tk, tp, filtered, greedy_only = self._filter_args(state)
         out = self._jit_pearl(
             self.draft.params, self.target.params,
             (self.draft.rope_table, self.target.rope_table),
@@ -255,8 +282,8 @@ class FusedPearl:
             state["cur_acc"], state["emitted"], state["emit_cnt"],
             state["bt_d"], state["bt_t"], state["temps"], state["max_tokens"],
             state["ignore_eos"], state["prompt_len"], state["eos_ids"],
-            np.int32(num_rounds), np.int64(seed0), gamma=gamma,
-            greedy_only=greedy_only,
+            tk, tp, np.int32(num_rounds), np.int64(seed0), gamma=gamma,
+            greedy_only=greedy_only, filtered=filtered,
         )
         (self.draft.kv, self.target.kv) = out[0], out[1]
         keys = ["tokens", "length", "pre", "finished", "cur_acc", "emitted", "emit_cnt"]
@@ -266,13 +293,14 @@ class FusedPearl:
         return state
 
     def run_ar(self, state: dict, num_steps: int, seed0: int):
-        greedy_only = bool(np.all(np.asarray(state["temps"]) == 0.0))
+        tk, tp, filtered, greedy_only = self._filter_args(state)
         out = self._jit_ar(
             self.target.params, self.target.rope_table,
             self.target.kv, state["tokens"], state["length"], state["finished"],
             state["bt_t"], state["temps"], state["max_tokens"], state["ignore_eos"],
-            state["prompt_len"], state["eos_ids"], np.int32(num_steps), np.int64(seed0),
-            greedy_only=greedy_only,
+            state["prompt_len"], state["eos_ids"], tk, tp,
+            np.int32(num_steps), np.int64(seed0),
+            greedy_only=greedy_only, filtered=filtered,
         )
         self.target.kv = out[0]
         for k, v in zip(["tokens", "length", "finished"], out[1:4]):

@@ -100,16 +100,6 @@ class PearlOrchestrator:
             tp[i] = min(s.top_p, 1.0)
         return tk, tp
 
-    def _filtering_active(self) -> bool:
-        """True when any live request uses top-k/top-p or per-request
-        stop tokens — those take the per-round overlap path (the fused
-        on-device loop's sampler is greedy/temperature only and its stop
-        set is the global EOS)."""
-        pool = list(self.scheduler.running) + list(self.scheduler.waiting)
-        return any(
-            s.top_k > 0 or s.top_p < 1.0 or s.stop_token_ids for s in pool
-        )
-
     def _m_pad(self, views) -> int:
         m = max(len(v.block_table) for v in views)
         return min(next_pow2(max(m, 8)), self.pcfg.max_blocks_per_seq)
@@ -385,7 +375,7 @@ class PearlOrchestrator:
         self.prefill_all()
         while not self.scheduler.is_finished():
             gamma = self._pick_gamma() if self.scheduler.running else 1
-            if self.fused is not None and not self._filtering_active():
+            if self.fused is not None:
                 self._fused_pearl_run(gamma, num_steps=None)
             else:
                 while self.scheduler.running:
@@ -397,18 +387,24 @@ class PearlOrchestrator:
         self._sync()
         return time.perf_counter() - start
 
-    def bench_loop(self, num_pearl_steps: int) -> float:
+    def bench_loop(self, num_pearl_steps: int, reserve_steps: int | None = None) -> float:
         """reference: pearl_bench_generate (:440-478) — fixed step count,
         eos ignored and max_tokens unbounded so the batch size stays
-        constant for the whole measurement."""
+        constant for the whole measurement.
+
+        ``reserve_steps`` reserves KV blocks for that many rounds even
+        when fewer are run: a short warmup pass with the measured run's
+        reservation compiles the IDENTICAL fused program (the block-table
+        width is a compiled shape), so the measured run starts warm."""
         start = time.perf_counter()
         self.prefill_all()
         for seq in self.scheduler.running:
             seq.max_tokens = 10**9
             seq.ignore_eos = True
         gamma = self._pick_gamma() if self.scheduler.running else 1
-        if self.fused is not None and not self._filtering_active():
-            self._fused_pearl_run(gamma, num_steps=num_pearl_steps)
+        if self.fused is not None:
+            self._fused_pearl_run(gamma, num_steps=num_pearl_steps,
+                                  reserve_steps=reserve_steps)
         else:
             for _ in range(num_pearl_steps):
                 self.pearl_round(gamma)
@@ -420,6 +416,53 @@ class PearlOrchestrator:
             seq.cur_acc_tokens = 0
         return elapsed
 
+    def ar_bench_loop(self, num_steps: int, reserve_steps: int | None = None) -> float:
+        """Fixed-step AR baseline (the AR twin of bench_loop): prefill,
+        then exactly ``num_steps`` decode steps with eos ignored so batch
+        size stays constant. ``reserve_steps`` pre-reserves blocks for a
+        longer run so a short warmup compiles the measured run's exact
+        fused program (same block-table width)."""
+        start = time.perf_counter()
+        self.prefill_all(target_only=True)
+        for seq in self.scheduler.running:
+            seq.max_tokens = 10**9
+            seq.ignore_eos = True
+        fused_ar = (
+            self.pcfg.execution_mode != "overlap"
+        )
+        cap = max(num_steps, reserve_steps or 0) + 2
+        # target-only reservation: the draft never decodes in AR mode
+        seqs = self.scheduler.schedule_decode(
+            lookahead=lambda s: cap, ar_only=True, strict=False
+        ) if self.scheduler.running else []
+        if seqs and fused_ar:
+            state = self._build_fused_state(seqs, ar_only=True)
+            remaining = num_steps
+            while remaining > 0:
+                chunk = min(remaining, 1024)
+                state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
+                remaining -= chunk
+                if remaining > 0 and bool(np.asarray(state["finished"]).all()):
+                    break
+            self._fused_sync(seqs, state, ar_only=True)
+        elif seqs:
+            for _ in range(num_steps):
+                views = [s.target for s in seqs]
+                for v in views:
+                    self.scheduler.target_bm.ensure_capacity(v, 1)
+                b = len(seqs)
+                b_pad = self.pcfg.bucket_batch(b)
+                logits = self.target.decode(views, b_pad, self._m_pad(views))
+                temps = np.zeros((b_pad,), np.float32)
+                temps[:b] = [s.temperature for s in seqs]
+                toks = np.asarray(
+                    self.target.sample_tokens(logits, temps, self._next_seed())
+                )
+                for v, t in zip(views, toks[:b]):
+                    v.append(int(t))
+        self._sync()
+        return time.perf_counter() - start
+
     def ar_loop(self) -> float:
         """Target-only autoregressive baseline (reference: AR_generate /
         parallel_generate :393-412 — the reference also runs the draft
@@ -427,7 +470,7 @@ class PearlOrchestrator:
         start = time.perf_counter()
         self.prefill_all(target_only=True)
         fused_ar = (
-            self.pcfg.execution_mode != "overlap" and not self._filtering_active()
+            self.pcfg.execution_mode != "overlap"
         )
         if fused_ar:
             while not self.scheduler.is_finished():
@@ -458,25 +501,15 @@ class PearlOrchestrator:
 
     # ------------------------------------------------------ fused execution
 
-    def _build_fused_state(self, seqs, cap_fn, ar_only: bool = False) -> dict:
-        """Materialize the device state machine for the fused loop.
-        ``cap_fn(seq)`` = tokens of growth to pre-reserve blocks for (the
-        fused program cannot call the host allocator mid-loop, so growth
-        is reserved up front — the device-side analogue of the lookahead
-        in schedule_decode)."""
-        sch = self.scheduler
+    def _build_fused_state(self, seqs, ar_only: bool = False) -> dict:
+        """Materialize the device state machine for the fused loop. KV
+        growth must already be reserved by the caller (schedule_decode
+        with a per-seq capacity callable — the fused program cannot call
+        the host allocator mid-loop)."""
         pcfg = self.pcfg
         b = len(seqs)
         b_pad = pcfg.bucket_batch(b)
         lbuf = pcfg.max_model_len + 8 * (pcfg.gamma if pcfg.gamma > 0 else 8) + 64
-
-        for s in seqs:
-            capacity = cap_fn(s)
-            if not ar_only:
-                assert sch.draft_bm.can_ensure(s.draft, capacity), "draft KV pool too small for fused run"
-                sch.draft_bm.ensure_capacity(s.draft, capacity)
-            assert sch.target_bm.can_ensure(s.target, capacity), "target KV pool too small for fused run"
-            sch.target_bm.ensure_capacity(s.target, capacity)
 
         def tables(views, garbage):
             m = max(len(v.block_table) for v in views)
@@ -495,6 +528,8 @@ class PearlOrchestrator:
         max_tokens = np.full((b_pad,), 2**30, np.int32)
         ignore_eos = np.ones((b_pad,), bool)
         cur_acc = np.zeros((b_pad,), np.int32)
+        tk = np.zeros((b_pad,), np.int32)
+        tp = np.ones((b_pad,), np.float32)
         for i, s in enumerate(seqs):
             stream = s.target.token_ids
             tokens[i, : len(stream)] = stream
@@ -506,6 +541,24 @@ class PearlOrchestrator:
             max_tokens[i] = min(s.max_tokens, 2**30)
             ignore_eos[i] = s.ignore_eos
             cur_acc[i] = s.cur_acc_tokens
+            tk[i] = max(s.top_k, 0)
+            tp[i] = min(s.top_p, 1.0)
+        # stop set: the global EOS list [E], widened to a per-request
+        # [B, S] matrix (EOS + request stop_token_ids, -1 padded) when any
+        # live request carries stops — verify_verdict and the fused AR
+        # body accept either shape
+        eos = [int(t) for t in self.target.cfg.eos_ids]
+        if any(s.stop_token_ids for s in seqs):
+            width = len(eos) + max(len(s.stop_token_ids) for s in seqs)
+            eos_ids = np.full((b_pad, width), -1, np.int32)
+            eos_ids[:, : len(eos)] = eos
+            for i, s in enumerate(seqs):
+                if s.stop_token_ids:
+                    eos_ids[i, len(eos) : len(eos) + len(s.stop_token_ids)] = (
+                        list(s.stop_token_ids)
+                    )
+        else:
+            eos_ids = np.asarray(eos, np.int32)
         return {
             "tokens": tokens,
             "length": length,
@@ -520,7 +573,9 @@ class PearlOrchestrator:
             "max_tokens": max_tokens,
             "ignore_eos": ignore_eos,
             "prompt_len": prompt_len,
-            "eos_ids": np.asarray(self.target.cfg.eos_ids, np.int32),
+            "eos_ids": eos_ids,
+            "tk": tk,
+            "tp": tp,
         }
 
     # The fused run is split into dispatch/probe/finish phases so a
@@ -530,30 +585,113 @@ class PearlOrchestrator:
     # host round-robins (the same async-dispatch overlap mechanism the
     # draft||target groups use).
 
-    def start_fused(self, gamma: int, num_steps: int | None = None):
-        """Build the device state machine; returns an opaque run handle
-        (None when nothing is running)."""
-        seqs = list(self.scheduler.running)
+    def _fused_chunk_rounds(self, gamma: int, b: int) -> int:
+        """Rounds per fused dispatch in variable-length mode: big enough
+        to amortize the per-chunk host sync, small enough that one
+        chunk's whole-batch reservation fits in ~half the smaller KV pool
+        (round-1 weakness 5: the unchunked run reserved worst-case
+        max_tokens blocks up front and asserted when they didn't fit)."""
+        pool_tokens = (
+            min(self.scheduler.draft_bm.num_blocks, self.scheduler.target_bm.num_blocks)
+            * self.pcfg.kvcache_block_size
+        )
+        per_chunk_round = (gamma + 1) * max(1, b)
+        return max(1, min(128, pool_tokens // (2 * per_chunk_round)))
+
+    def start_fused(self, gamma: int, num_steps: int | None = None,
+                    reserve_steps: int | None = None):
+        """Reserve KV growth (preempting under pressure — preempted
+        requests requeue instead of crashing the engine) and build the
+        device state machine; returns an opaque run handle (None when
+        nothing could be scheduled). ``reserve_steps`` (bench warmup)
+        sizes the block reservation as if that many rounds would run."""
+        if not self.scheduler.running:
+            return None
+        if num_steps is not None:
+            cap_steps = max(num_steps, reserve_steps or 0)
+            cap_fn = lambda s: cap_steps * gamma + 2 * gamma + 4
+            chunk = None
+        else:
+            # chunked reservation: blocks for one chunk of rounds at a
+            # time; step_fused re-reserves between chunks from device
+            # lengths (growth stays bounded by max_tokens regardless)
+            chunk = self._fused_chunk_rounds(gamma, len(self.scheduler.running))
+            cap_fn = lambda s: (
+                min(s.max_tokens - s.num_completion_tokens, chunk * gamma)
+                + 2 * gamma + 4
+            )
+        seqs = self.scheduler.schedule_decode(
+            lookahead=cap_fn, strict=False
+        )
         if not seqs:
             return None
         if num_steps is not None:
             rounds_bound = num_steps
-            cap_fn = lambda s: num_steps * gamma + 2 * gamma + 4
         else:
-            # worst case 1 committed token/round until every row hits its
-            # max_tokens limit; growth is bounded by max_tokens regardless
             rounds_bound = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
-            cap_fn = lambda s: (s.max_tokens - s.num_completion_tokens) + 2 * gamma + 4
-        state = self._build_fused_state(seqs, cap_fn)
+        state = self._build_fused_state(seqs)
         return {
             "seqs": seqs, "state": state, "gamma": gamma,
             "remaining": rounds_bound, "fixed": num_steps is not None,
+            "chunk": chunk, "dev_len": None, "stalled": False,
         }
+
+    def _reensure_fused(self, run) -> bool:
+        """Between chunks of a variable-length fused run: grow every
+        unfinished row's block reservation for the next chunk, using the
+        device lengths fetched by the last probe. False when the pools
+        cannot hold the next chunk — the caller must sync and reschedule
+        (which preempts) instead of asserting."""
+        sch = self.scheduler
+        gamma, chunk = run["gamma"], run["chunk"]
+        dev_len = run["dev_len"]
+        dev_fin = run["dev_fin"]
+        grow = []
+        for i, s in enumerate(run["seqs"]):
+            if dev_fin[i]:
+                continue
+            base = len(s.target.token_ids)  # host view is stale mid-run
+            extra = int(dev_len[i]) - base + min(
+                s.max_tokens - (int(dev_len[i]) - s.num_prompt_tokens),
+                chunk * gamma,
+            ) + 2 * gamma + 4
+            grow.append((s, max(0, extra)))
+        for s, extra in grow:
+            if not (
+                sch.draft_bm.can_ensure(s.draft, extra)
+                and sch.target_bm.can_ensure(s.target, extra)
+            ):
+                return False
+        for s, extra in grow:
+            sch.draft_bm.ensure_capacity(s.draft, extra)
+            sch.target_bm.ensure_capacity(s.target, extra)
+        # refresh the device block tables (widths may grow -> the dict
+        # update hands the new arrays to the next dispatch)
+        state = run["state"]
+        b_pad = state["length"].shape[0]
+
+        def tables(views, garbage):
+            m = max(len(v.block_table) for v in views)
+            m = next_pow2(max(m, 8))
+            bt = np.full((b_pad, m), garbage, np.int32)
+            for i, v in enumerate(views):
+                bt[i, : len(v.block_table)] = v.block_table
+            return bt
+
+        state["bt_d"] = tables([s.draft for s in run["seqs"]], self.draft.garbage_block)
+        state["bt_t"] = tables([s.target for s in run["seqs"]], self.target.garbage_block)
+        return True
 
     def step_fused(self, run) -> bool:
         """Dispatch one chunk of rounds (async — returns without waiting
-        for the device). True when no further chunks remain."""
-        chunk = run["remaining"] if run["fixed"] else min(run["remaining"], 128)
+        for the device). True when no further chunks remain (or the run
+        stalled on KV pressure — check ``run['stalled']``; the ended
+        run's preempted/unfinished rows simply reschedule next call)."""
+        if not run["fixed"] and run["dev_len"] is not None:
+            if not self._reensure_fused(run):
+                run["stalled"] = True
+                return True
+        chunk = run["remaining"] if run["fixed"] else min(run["remaining"], run["chunk"])
         run["state"] = self.fused.run_pearl(
             run["state"], run["gamma"], chunk, self._next_seed() * 100003
         )
@@ -561,43 +699,94 @@ class PearlOrchestrator:
         return run["remaining"] <= 0
 
     def probe_fused(self, run) -> bool:
-        """Host sync on this run's device stream: all rows finished?"""
-        return bool(np.asarray(run["state"]["finished"]).all())
+        """Host sync on this run's device stream: all rows finished?
+        Also snapshots per-row lengths for the next chunk's block
+        re-reservation."""
+        fetched = jax.device_get({
+            "finished": run["state"]["finished"], "length": run["state"]["length"],
+        })
+        run["dev_len"] = fetched["length"]
+        run["dev_fin"] = fetched["finished"]
+        return bool(fetched["finished"].all())
 
     def end_fused(self, run):
         self._fused_sync(run["seqs"], run["state"])
 
-    def _fused_pearl_run(self, gamma: int, num_steps: int | None):
+    def _fused_pearl_run(self, gamma: int, num_steps: int | None,
+                         reserve_steps: int | None = None):
         """Run PEARL to completion (num_steps=None) or for a fixed number
-        of rounds, with at most one host sync per chunk."""
-        run = self.start_fused(gamma, num_steps)
-        if run is None:
-            return
+        of rounds, with at most one host sync per chunk. Under KV
+        pressure a variable-length run may stall mid-flight: it syncs
+        back and restarts (rescheduling preempts to make room)."""
         while True:
-            done = self.step_fused(run)
-            if done or self.probe_fused(run):
-                break
-        self.end_fused(run)
+            run = self.start_fused(gamma, num_steps, reserve_steps)
+            if run is None:
+                return
+            while True:
+                done = self.step_fused(run)
+                if done or self.probe_fused(run):
+                    break
+            self.end_fused(run)
+            if not run["stalled"]:
+                return
 
     def _fused_ar_run(self):
         sch = self.scheduler
-        seqs = list(sch.running)
-        if not seqs:
-            return
-        steps_bound = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
-        state = self._build_fused_state(
-            seqs, lambda s: (s.max_tokens - s.num_completion_tokens) + 2, ar_only=True
-        )
-        remaining = steps_bound
-        while remaining > 0:
-            # big chunks: the early-exit probe between chunks costs a
-            # host sync; the while_loop already stops when all rows finish
-            chunk = min(remaining, 1024)
-            state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
-            remaining -= chunk
-            if bool(np.asarray(state["finished"]).all()):
-                break
-        self._fused_sync(seqs, state, ar_only=True)
+        while True:
+            if not sch.running:
+                return
+            gamma1_chunk = self._fused_chunk_rounds(0, len(sch.running)) * 8
+            cap_fn = lambda s: (
+                min(s.max_tokens - s.num_completion_tokens, gamma1_chunk) + 2
+            )
+            seqs = sch.schedule_decode(lookahead=cap_fn, ar_only=True, strict=False)
+            if not seqs:
+                return
+            state = self._build_fused_state(seqs, ar_only=True)
+            remaining = max(s.max_tokens - s.num_completion_tokens for s in seqs) + 1
+            stalled = False
+            first = True
+            while remaining > 0:
+                chunk = min(remaining, gamma1_chunk)
+                if not first:
+                    # grow reservations for the next chunk from device state
+                    fetched = jax.device_get({
+                        "finished": state["finished"], "length": state["length"],
+                    })
+                    if fetched["finished"].all():
+                        break
+                    ok = True
+                    grow = []
+                    for i, s in enumerate(seqs):
+                        if fetched["finished"][i]:
+                            continue
+                        extra = int(fetched["length"][i]) - len(s.target.token_ids) + min(
+                            s.max_tokens - (int(fetched["length"][i]) - s.num_prompt_tokens),
+                            gamma1_chunk,
+                        ) + 2
+                        grow.append((s, max(0, extra)))
+                    for s, extra in grow:
+                        if not sch.target_bm.can_ensure(s.target, extra):
+                            ok = False
+                            break
+                    if not ok:
+                        stalled = True
+                        break
+                    for s, extra in grow:
+                        sch.target_bm.ensure_capacity(s.target, extra)
+                    b_pad = state["length"].shape[0]
+                    views = [s.target for s in seqs]
+                    m = next_pow2(max(8, max(len(v.block_table) for v in views)))
+                    bt = np.full((b_pad, m), self.target.garbage_block, np.int32)
+                    for i, v in enumerate(views):
+                        bt[i, : len(v.block_table)] = v.block_table
+                    state["bt_t"] = bt
+                state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
+                remaining -= chunk
+                first = False
+            self._fused_sync(seqs, state, ar_only=True)
+            if not stalled:
+                return
 
     def _fused_sync(self, seqs, state, ar_only: bool = False):
         """Pull the device state machine back into host Sequence objects."""
@@ -646,7 +835,7 @@ class PearlOrchestrator:
             return
         gamma = self._pick_gamma()
         self.last_gamma = gamma
-        if self.fused is not None and not self._filtering_active():
+        if self.fused is not None:
             self._fused_pearl_run(gamma, num_steps=fused_rounds)
         else:
             self.pearl_round(gamma)

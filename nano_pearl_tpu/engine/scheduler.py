@@ -90,15 +90,26 @@ class Scheduler:
         return scheduled
 
     # ---- AR decode batch with preemption (reference: scheduler.py:53-67) ----
-    def schedule_decode(self, lookahead: int = 1) -> list[Sequence]:
+    def schedule_decode(
+        self, lookahead=1, *, ar_only: bool = False, strict: bool = True
+    ) -> list[Sequence]:
+        """Reserve ``lookahead`` tokens of KV growth (an int, or a
+        per-sequence callable — the fused loop reserves whole chunks of
+        rounds) for every running sequence, preempting from the tail of
+        the batch when blocks run out. ``ar_only`` skips the draft pool
+        (target-only AR baseline: draft views own no blocks). With
+        ``strict=False`` (continuous serving) an empty result is returned
+        instead of asserting — preempted requests simply wait in the
+        queue for blocks to free up (round-1 verdict item 6)."""
+        need = lookahead if callable(lookahead) else (lambda s: lookahead)
         scheduled: list[Sequence] = []
         batch = list(self.running)
         for seq in batch:
             if seq.status != SequenceStatus.RUNNING:
                 continue  # preempted as a victim earlier in this pass
             while not (
-                self.draft_bm.can_ensure(seq.draft, lookahead)
-                and self.target_bm.can_ensure(seq.target, lookahead)
+                (ar_only or self.draft_bm.can_ensure(seq.draft, need(seq)))
+                and self.target_bm.can_ensure(seq.target, need(seq))
             ):
                 victim = None
                 for cand in reversed(self.running):
@@ -109,10 +120,12 @@ class Scheduler:
                 if victim is None:
                     break
             else:
-                self.draft_bm.ensure_capacity(seq.draft, lookahead)
-                self.target_bm.ensure_capacity(seq.target, lookahead)
+                if not ar_only:
+                    self.draft_bm.ensure_capacity(seq.draft, need(seq))
+                self.target_bm.ensure_capacity(seq.target, need(seq))
                 scheduled.append(seq)
-        assert scheduled, "decode scheduled nothing (all sequences preempted)"
+        if strict:
+            assert scheduled, "decode scheduled nothing (all sequences preempted)"
         return scheduled
 
     def preempt(self, seq: Sequence):

@@ -179,3 +179,50 @@ def test_tp_sharded_engine_matches_tp1(tmp_path):
         out, _, _, _ = eng.generate_token_ids()
         outs.append(out)
     assert outs[0] == outs[1]
+
+
+def test_ar_bench_fixed_steps():
+    """AR_bench_generate: fixed-step constant-batch AR baseline. The
+    token stream must match AR_generate over the same horizon (greedy
+    determinism) and reserve_steps must not change outputs — it only
+    widens the block reservation so warmups compile the measured run's
+    exact fused program."""
+    eng = PearlEngine(tiny_pearl_config())
+    _add_all(eng, max_tokens=13, ignore_eos=True)
+    ar, n_ar, _, _ = eng.AR_generate_token_ids()
+    _add_all(eng, max_tokens=13, ignore_eos=True)
+    bench, n_b, _, _ = eng.AR_bench_generate(num_steps=12)  # prefill adds 1
+    assert n_b == [13] * len(PROMPTS)
+    assert bench == ar
+    _add_all(eng, max_tokens=13, ignore_eos=True)
+    bench2, _, _, _ = eng.AR_bench_generate(num_steps=12, reserve_steps=40)
+    assert bench2 == bench
+
+
+def test_pearl_bench_reserve_steps():
+    """bench_generate(reserve_steps=...) must leave outputs unchanged."""
+    eng = PearlEngine(tiny_pearl_config())
+    _add_all(eng, max_tokens=8, ignore_eos=True)
+    a, _, _, _ = eng.bench_generate(num_pearl_steps=3)
+    _add_all(eng, max_tokens=8, ignore_eos=True)
+    b, _, _, _ = eng.bench_generate(num_pearl_steps=3, reserve_steps=12)
+    assert a == b
+
+
+def test_warmup_leaves_engine_clean():
+    """config.warmup pre-compiles serve-path programs via dummy requests
+    and must leave no residue: no finished/running state, and subsequent
+    generation matches a cold engine."""
+    warm = PearlEngine(tiny_pearl_config(warmup=(1, 2)))
+    assert warm.stats()["waiting"] == 0 and warm.stats()["running"] == 0
+    assert warm.stats()["completed_requests"] == 0
+    cold = PearlEngine(
+        tiny_pearl_config(),
+        draft_params=warm.draft.params,
+        target_params=warm.target.params,
+    )
+    _add_all(warm)
+    a, _, _, _ = warm.generate_token_ids()
+    _add_all(cold)
+    b, _, _, _ = cold.generate_token_ids()
+    assert a == b

@@ -73,7 +73,7 @@ def test_lower_grouped(quant, b, r):
 
 
 @pytest.mark.parametrize("quant", QUANTS)
-@pytest.mark.parametrize("n", [1, 6])
+@pytest.mark.parametrize("n", [1, 6, 8])  # incl. 8-aligned rows
 def test_lower_partials(quant, n):
     m = 4
     args = (
@@ -93,7 +93,7 @@ def test_lower_partials(quant, n):
 
 
 @pytest.mark.parametrize("quant", QUANTS)
-@pytest.mark.parametrize("b,r", [(1, 5), (3, 7)])
+@pytest.mark.parametrize("b,r", [(1, 5), (3, 7), (2, 14)])  # symmetric with test_lower_grouped
 def test_lower_grouped_partials(quant, b, r):
     m = 4
     args = (

@@ -156,10 +156,11 @@ def main():
         return (t_hi - t_lo) / (args.hi - args.lo)
 
     class _Results(dict):
-        # print incrementally: compiles are minutes-long over the tunnel
-        # and a timed-out run should still leave its finished numbers
+        # print incrementally (labelled provisional — the final summary
+        # repeats them with derived rows): compiles are minutes-long over
+        # the tunnel and a timed-out run should still leave its numbers
         def __setitem__(self, k, v):
-            print(f"  [{k}] {v*1e3:.3f} ms", flush=True)
+            print(f"  [{k}] {v*1e3:.3f} ms (provisional)", flush=True)
             super().__setitem__(k, v)
 
     results = _Results()
