@@ -314,8 +314,15 @@ def run(args):
         _, num_tokens, num_acc, pearl_t = engine.bench_generate(num_pearl_steps=args.steps)
         tps = sum(num_tokens) / pearl_t
         if tps > pearl_tps:
-            mats = [sum(a) / max(1, len(a)) for a in num_acc]
-            pearl_tps, mat = tps, float(np.mean(mats))
+            # MAT = committed tokens per verify round (the prefill token
+            # excluded). The reference's mean-of-emits accounting
+            # (bench.py:67) degenerates when a measurement window has few
+            # or no rejections (one giant terminal emit), so the
+            # fixed-step protocol divides by the actual round count;
+            # rejected rounds commit their revise token, matching the
+            # reference's acc+1 counting per rejection.
+            mat = float(np.mean([(n - 1) / args.steps for n in num_tokens]))
+        pearl_tps = max(pearl_tps, tps)
         _phase(f"pearl run ({tps:.0f} tok/s)", t0)
 
     # ---- AR baseline (fixed-step, same constant-batch protocol)

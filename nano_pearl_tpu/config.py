@@ -265,6 +265,17 @@ class PearlConfig:
     target_kv_quant: str | None = None
     # use the native C++ block-manager core (native/block_manager.cc)
     native_block_manager: bool = False
+    # Upper bounds on work per fused-loop DISPATCH (rounds of the PEARL
+    # program / steps of the AR program executed by one XLA program
+    # invocation). Chained dispatches pipeline asynchronously, so
+    # splitting costs only ~ms of host overhead — but it bounds each
+    # device execution's wall time, which the axon tunnel requires: a
+    # single execution running tens of seconds crashes the remote TPU
+    # worker ("UNAVAILABLE: TPU worker process crashed" — root cause of
+    # the round-1 driver bench failure, reproduced with a 1024-step AR
+    # dispatch and absent for <=16 s dispatches).
+    max_dispatch_rounds: int = 48
+    max_dispatch_steps: int = 256
     # Pre-compile the serving-path programs at engine init (reference:
     # warmup_model, pearl_model_runner.py:333-344 warms the max-shape
     # prefill before serving). False: compile lazily on first use (first

@@ -439,7 +439,9 @@ class PearlOrchestrator:
             state = self._build_fused_state(seqs, ar_only=True)
             remaining = num_steps
             while remaining > 0:
-                chunk = min(remaining, 1024)
+                # capped per-dispatch steps (config.max_dispatch_steps):
+                # one long-running execution crashes the axon worker
+                chunk = min(remaining, self.pcfg.max_dispatch_steps)
                 state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
                 remaining -= chunk
                 if remaining > 0 and bool(np.asarray(state["finished"]).all()):
@@ -691,7 +693,8 @@ class PearlOrchestrator:
             if not self._reensure_fused(run):
                 run["stalled"] = True
                 return True
-        chunk = run["remaining"] if run["fixed"] else min(run["remaining"], run["chunk"])
+        cap = self.pcfg.max_dispatch_rounds
+        chunk = min(run["remaining"], cap if run["fixed"] else min(run["chunk"], cap))
         run["state"] = self.fused.run_pearl(
             run["state"], run["gamma"], chunk, self._next_seed() * 100003
         )
@@ -735,7 +738,10 @@ class PearlOrchestrator:
         while True:
             if not sch.running:
                 return
-            gamma1_chunk = self._fused_chunk_rounds(0, len(sch.running)) * 8
+            gamma1_chunk = min(
+                self._fused_chunk_rounds(0, len(sch.running)) * 8,
+                self.pcfg.max_dispatch_steps,
+            )
             cap_fn = lambda s: (
                 min(s.max_tokens - s.num_completion_tokens, gamma1_chunk) + 2
             )
