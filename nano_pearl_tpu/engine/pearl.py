@@ -561,7 +561,7 @@ class PearlOrchestrator:
                     )
         else:
             eos_ids = np.asarray(eos, np.int32)
-        return {
+        state = {
             "tokens": tokens,
             "length": length,
             "pre": pre,
@@ -579,6 +579,18 @@ class PearlOrchestrator:
             "tk": tk,
             "tp": tp,
         }
+        # Commit every state array to the mesh (replicated) BEFORE the
+        # first dispatch: chunk 1 would otherwise take uncommitted host
+        # arrays while chunk 2+ takes the previous dispatch's committed
+        # device outputs — a different jit signature, i.e. a full
+        # recompile of the fused program mid-measurement (observed as a
+        # second jit__pearl_rounds_impl executable per run; diagnosed
+        # with JAX_EXPLAIN_CACHE_MISSES: "at finished, now
+        # bool[32]({Auto: ('tp',)}) and before bool[32]({})").
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.target.gmesh.mesh, P())
+        return jax.device_put(state, jax.tree.map(lambda _: rep, state))
 
     # The fused run is split into dispatch/probe/finish phases so a
     # caller that owns SEVERAL orchestrators on disjoint device slices
@@ -680,8 +692,15 @@ class PearlOrchestrator:
                 bt[i, : len(v.block_table)] = v.block_table
             return bt
 
-        state["bt_d"] = tables([s.draft for s in run["seqs"]], self.draft.garbage_block)
-        state["bt_t"] = tables([s.target for s in run["seqs"]], self.target.garbage_block)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.target.gmesh.mesh, P())
+        state["bt_d"] = jax.device_put(
+            tables([s.draft for s in run["seqs"]], self.draft.garbage_block), rep
+        )
+        state["bt_t"] = jax.device_put(
+            tables([s.target for s in run["seqs"]], self.target.garbage_block), rep
+        )
         return True
 
     def step_fused(self, run) -> bool:
@@ -786,7 +805,11 @@ class PearlOrchestrator:
                     bt = np.full((b_pad, m), self.target.garbage_block, np.int32)
                     for i, v in enumerate(views):
                         bt[i, : len(v.block_table)] = v.block_table
-                    state["bt_t"] = bt
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    state["bt_t"] = jax.device_put(
+                        bt, NamedSharding(self.target.gmesh.mesh, P())
+                    )
                 state = self._fused_impl.run_ar(state, chunk, self._next_seed() * 100003)
                 remaining -= chunk
                 first = False

@@ -39,12 +39,24 @@ NEG_INF = -1e30
 # --------------------------------------------------------- shared math
 
 
+def _kv_head(arr, kh: int, d: int):
+    """K/V rows for kv head ``kh`` -> [BS, D]. Accepts either the
+    [BS, Hkv, D] layout (BlockSpec-pipelined kernels) or the FOLDED
+    [BS, Hkv*D] layout (double-buffered kernels: manual HBM DMA slices
+    must keep the minor dim 128-aligned, so the (Hkv, D) tail is folded
+    into one lane-aligned axis and heads become column slices)."""
+    if arr.ndim == 3:
+        return arr[:, kh, :]
+    return jax.lax.slice(arr, (0, kh * d), (arr.shape[0], (kh + 1) * d))
+
+
 def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
                block_size, num_kv_heads):
     """One flash update for a single query row: q [Hq, D], k/v
-    [BS, Hkv, D] in their NATIVE dtype (bf16 stays bf16 — the MXU runs
-    bf16 x bf16 -> f32 at full rate, f32 x f32 at half), scalar ctx
-    bound. Softmax statistics and the accumulator stay f32."""
+    [BS, Hkv, D] or folded [BS, Hkv*D] in their NATIVE dtype (bf16 stays
+    bf16 — the MXU runs bf16 x bf16 -> f32 at full rate, f32 x f32 at
+    half), scalar ctx bound. Softmax statistics and the accumulator stay
+    f32."""
     hq, d = q.shape
     g = hq // num_kv_heads
 
@@ -53,7 +65,7 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     s_parts = []
     for kh in range(num_kv_heads):
         qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
-        kh_blk = k[:, kh, :]  # [BS, D]
+        kh_blk = _kv_head(k, kh, d)  # [BS, D]
         s_parts.append(
             jax.lax.dot_general(
                 qh, kh_blk,
@@ -75,7 +87,7 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
-        vh = v[:, kh, :]  # [BS, D]
+        vh = _kv_head(v, kh, d)  # [BS, D]
         pv_parts.append(
             jax.lax.dot_general(
                 ph, vh,
@@ -110,7 +122,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
     for kh in range(num_kv_heads):
         qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
         s = jax.lax.dot_general(
-            qh, k[:, kh, :],
+            qh, _kv_head(k, kh, d),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R*G, BS]
@@ -129,7 +141,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
         ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
         pv_parts.append(
             jax.lax.dot_general(
-                ph, v[:, kh, :],
+                ph, _kv_head(v, kh, d),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [R*G, D]
@@ -231,6 +243,125 @@ def _grouped_kernel(
     @pl.when(m == num_m - 1)
     def _finalize():
         _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+# ----------------------------------------- double-buffered loop kernels
+#
+# The original decode/verify kernels used grid = (rows, table_width):
+# one 256-token KV block per grid step, one (row or group) per step. At
+# bench shapes (32 rows x 16 table slots) that is 512 grid steps per
+# layer, and the per-step fixed cost (scalar-core index maps, pipeline
+# semaphores) measured ~2.7 us/step => ~1.4 ms/layer — 10x off the HBM
+# roofline and the dominant cost of BOTH the AR step (52 ms at 36L) and
+# the PEARL round. These kernels instead use grid = (rows,) with an
+# in-kernel fori_loop over the row's ACTUAL context blocks and manually
+# double-buffered HBM->VMEM DMAs (guide pattern): per-layer overhead
+# drops to rows grid steps, DMA traffic to exactly ceil(ctx/BS) blocks.
+
+
+def _db_loop(nb, start_fn, wait_fn, compute_fn):
+    """Double-buffered block loop: start DMA i+1, wait i, compute i."""
+    start_fn(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_fn(nxt, i + 1)
+
+        wait_fn(slot, i)
+        compute_fn(slot, i)
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _kernel_db(
+    bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch (SMEM)
+    q_ref,  # [1, Hq, D] VMEM
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv, D] HBM (manual DMA)
+    o_ref,  # [1, Hq, D] VMEM
+    kbuf, vbuf,  # VMEM (2, BS, Hkv, D)
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems,  # DMA semaphores (2,)
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    ni = pl.program_id(0)
+    ctx = context_lens_ref[ni]
+    nb = pl.cdiv(ctx, block_size)
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def start(slot, i):
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_k_ref[ni, i]], kbuf.at[slot], k_sems.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_v_ref[ni, i]], vbuf.at[slot], v_sems.at[slot]
+        ).start()
+
+    def wait(slot, i):
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_k_ref[ni, i]], kbuf.at[slot], k_sems.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_v_ref[ni, i]], vbuf.at[slot], v_sems.at[slot]
+        ).wait()
+
+    def compute(slot, i):
+        _sr_update(
+            q_ref[0], kbuf[slot], vbuf[slot], ctx, i * block_size,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    _db_loop(nb, start, wait, compute)
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _grouped_kernel_db(
+    bt_k_ref, bt_v_ref, context_lens_ref,
+    q_ref,  # [R, Hq, D] VMEM
+    blocks_ref,  # HBM
+    o_ref,  # [R, Hq, D]
+    kbuf, vbuf, m_scr, l_scr, acc_scr, k_sems, v_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    bi = pl.program_id(0)
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+    nb = pl.cdiv(ctx_max, block_size)
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def start(slot, i):
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_k_ref[bi, i]], kbuf.at[slot], k_sems.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_v_ref[bi, i]], vbuf.at[slot], v_sems.at[slot]
+        ).start()
+
+    def wait(slot, i):
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_k_ref[bi, i]], kbuf.at[slot], k_sems.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            blocks_ref.at[bt_v_ref[bi, i]], vbuf.at[slot], v_sems.at[slot]
+        ).wait()
+
+    def compute(slot, i):
+        _gr_update(
+            q_ref[...], kbuf[slot], vbuf[slot], ctx_rows, i * block_size,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+        )
+
+    _db_loop(nb, start, wait, compute)
+    _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
 # ---------------------------------------------------------- int8 kernels
@@ -540,14 +671,51 @@ def paged_attention_pallas_grouped(
         cache, layer_idx, group_tables
     )
     g = hq // hkv
+    acc_scratch = [
+        pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+        pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+        pltpu.VMEM((hkv * r * g, d), jnp.float32),
+    ]
 
+    if scales is None and (hkv * d) % 128 == 0:
+        # double-buffered per-group kernel: grid (B,), manual DMA over the
+        # group's ACTUAL context blocks; cache folded to [NBtot, BS, Hkv*D]
+        # (manual HBM DMA slices need a 128-aligned minor dim)
+        blocks2 = blocks.reshape(blocks.shape[0], bs, hkv * d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                *acc_scratch,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _grouped_kernel_db, scale=scale, block_size=bs,
+                num_kv_heads=hkv, rows=r,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            interpret=interpret,
+        )(bt_k, bt_v, context_lens, q, blocks2)
+
+    # fallback: BlockSpec-pipelined grid (B, M) kernel (quantized caches,
+    # or Hkv*D not lane-aligned)
     def _mi_eff(bi, mi, cl):
         # clamp the table slot to the group's last in-context block: grid
         # steps past the context re-reference the PREVIOUS block index, and
         # Pallas elides the HBM->VMEM copy when the block index is
         # unchanged — DMA traffic scales with the ACTUAL context, not the
-        # padded table width (compute for those steps was already skipped
-        # by the in-kernel pl.when; this skips the bandwidth too)
+        # padded table width
         ctx_max = cl[bi * r]
         for i in range(1, r):
             ctx_max = jnp.maximum(ctx_max, cl[bi * r + i])
@@ -588,11 +756,7 @@ def paged_attention_pallas_grouped(
         grid=(b, m),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
-            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
-            pltpu.VMEM((hkv * r * g, d), jnp.float32),
-        ],
+        scratch_shapes=acc_scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -783,10 +947,44 @@ def paged_attention_pallas(
     blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
         cache, layer_idx, block_tables
     )
+    acc_scratch = [
+        pltpu.VMEM((hq, 128), jnp.float32),
+        pltpu.VMEM((hq, 128), jnp.float32),
+        pltpu.VMEM((hq, d), jnp.float32),
+    ]
 
+    if scales is None and (hkv * d) % 128 == 0:
+        # double-buffered per-row kernel (see paged_attention_pallas_grouped)
+        blocks2 = blocks.reshape(blocks.shape[0], bs, hkv * d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                *acc_scratch,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_db, scale=scale, block_size=bs, num_kv_heads=hkv
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            interpret=interpret,
+        )(bt_k, bt_v, context_lens, q, blocks2)
+
+    # fallback: BlockSpec-pipelined grid (N, M) kernel
     def _mi_eff(ni, mi, cl):
-        # see paged_attention_pallas_grouped: clamped slot -> unchanged
-        # block index -> Pallas skips the copy for past-context steps
+        # clamped slot -> unchanged block index -> Pallas skips the copy
+        # for past-context steps
         return jnp.minimum(mi, jnp.maximum(cl[ni] - 1, 0) // bs)
 
     q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0))
@@ -824,11 +1022,7 @@ def paged_attention_pallas(
         grid=(n, m),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.VMEM((hq, d), jnp.float32),
-        ],
+        scratch_shapes=acc_scratch,
     )
     return pl.pallas_call(
         kernel,

@@ -127,3 +127,36 @@ def test_lower_prefill_self(b, lq):
         ),
         *args,
     )
+
+
+@pytest.mark.parametrize("bs,hkv,d", [(256, 2, 64), (256, 8, 128), (64, 2, 64)])
+def test_lower_db_kernels_bench_shapes(bs, hkv, d):
+    """The double-buffered kernels at full-bench-like cache geometry
+    (256-token blocks, folded Hkv*D minor dim): the round-2 Mosaic
+    failure ('memref_slice must be aligned to tiling (128)') appeared
+    only at these shapes, not the small lowering shapes above."""
+    hq = hkv * 4
+    cache = make_kv_cache(2, 6, bs, hkv, d, jnp.bfloat16)
+    for n, r in ((3, 1), (2, 7)):
+        args = (
+            jnp.zeros((n * r, hq, d), jnp.bfloat16),
+            cache,
+            jnp.int32(0),
+            jnp.zeros((n, 4), jnp.int32),
+            jnp.ones((n * r,), jnp.int32),
+        )
+        if r == 1:
+            _lower_tpu(
+                lambda q, c, li, bt, cl: paged_attention_pallas(
+                    q, c, li, bt, cl, SCALE
+                ),
+                args[0], args[1], args[2],
+                jnp.zeros((n * r, 4), jnp.int32), args[4],
+            )
+        else:
+            _lower_tpu(
+                lambda q, c, li, bt, cl: paged_attention_pallas_grouped(
+                    q, c, li, bt, cl, SCALE, rows_per_group=r
+                ),
+                *args,
+            )
