@@ -75,7 +75,7 @@ def parse_args():
     )
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--ffn", type=int, default=4096)
-    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--heads", type=int, default=8, help="8 x head_dim 128 (the d%%128==0 fast attention path; identical GEMM shapes to 16 x 64)")
     p.add_argument("--kv-heads", type=int, default=2)
     p.add_argument("--vocab", type=int, default=32768)
     p.add_argument("--draft-layers", type=int, default=3)
@@ -183,7 +183,7 @@ def build_layer_share_pair(mc_draft, mc_target, seed, draft_noise=0.0):
 def run(args):
     if args.quick:
         args.batch = min(args.batch, 4)
-        args.hidden, args.ffn, args.heads, args.kv_heads = 256, 1024, 4, 2
+        args.hidden, args.ffn, args.heads, args.kv_heads = 256, 1024, 2, 2
         args.vocab = 8192
         args.draft_layers, args.target_layers = 2, 6
         args.steps = 6

@@ -259,23 +259,56 @@ def _grouped_kernel(
 # drops to rows grid steps, DMA traffic to exactly ceil(ctx/BS) blocks.
 
 
-def _db_loop(nb, start_fn, wait_fn, compute_fn):
-    """Double-buffered block loop: start DMA i+1, wait i, compute i."""
+CHUNK_TOKENS = 1024  # KV tokens DMA'd + computed per inner iteration
+
+
+def _pages_per_chunk(block_size: int) -> int:
+    """Pages per double-buffered chunk: enough pages to amortize the
+    ~1.5 us per-DMA issue cost over >=CHUNK_TOKENS tokens, but never so
+    many that the two chunk buffers blow the ~16 MB VMEM budget when the
+    block size itself is large."""
+    return max(1, CHUNK_TOKENS // block_size)
+
+
+def _db_loop(nb_chunks, start_fn, wait_fn, compute_fn):
+    """Double-buffered chunk loop: start DMAs for chunk i+1, wait for
+    chunk i, compute chunk i. Each chunk covers several pages so the
+    per-DMA issue latency amortizes (a single-page loop is
+    latency-bound: compute per page is ~2 us while the DMA round trip is
+    tens of us; measured 6x SLOWER than the BlockSpec grid at bench
+    shapes before chunking)."""
     start_fn(0, 0)
 
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
 
-        @pl.when(i + 1 < nb)
+        @pl.when(ci + 1 < nb_chunks)
         def _():
-            start_fn(nxt, i + 1)
+            start_fn(nxt, ci + 1)
 
-        wait_fn(slot, i)
-        compute_fn(slot, i)
+        wait_fn(slot, ci)
+        compute_fn(slot, ci)
         return 0
 
-    jax.lax.fori_loop(0, nb, body, 0)
+    jax.lax.fori_loop(0, nb_chunks, body, 0)
+
+
+def _chunk_dmas(blocks_ref, bt_ref, row, ci, buf, sems, bs, last_page, ppc):
+    """DMAs for one chunk: pages ci*C+j -> buf[j*bs:(j+1)*bs]. Page
+    indices past the row's last page are clamped to it — their assigned
+    positions land past the context and are masked in compute."""
+    dmas = []
+    for j in range(ppc):
+        page = jnp.minimum(ci * ppc + j, last_page)
+        dmas.append(
+            pltpu.make_async_copy(
+                blocks_ref.at[bt_ref[row, page]],
+                buf.at[pl.ds(j * bs, bs), :],
+                sems.at[j],
+            )
+        )
+    return dmas
 
 
 def _kernel_db(
@@ -283,40 +316,46 @@ def _kernel_db(
     q_ref,  # [1, Hq, D] VMEM
     blocks_ref,  # [L*2*(NB+1), BS, Hkv, D] HBM (manual DMA)
     o_ref,  # [1, Hq, D] VMEM
-    kbuf, vbuf,  # VMEM (2, BS, Hkv, D)
+    kbuf, vbuf,  # VMEM (2, C*BS, Hkv, D)
     m_scr, l_scr, acc_scr,
-    k_sems, v_sems,  # DMA semaphores (2,)
+    k_sems, v_sems,  # DMA semaphores (2, C)
     *, scale: float, block_size: int, num_kv_heads: int,
 ):
     ni = pl.program_id(0)
+    ppc = _pages_per_chunk(block_size)
     ctx = context_lens_ref[ni]
-    nb = pl.cdiv(ctx, block_size)
+    nb_pages = pl.cdiv(ctx, block_size)
+    nb_chunks = pl.cdiv(nb_pages, ppc)
+    last_page = nb_pages - 1
     _init_scratch(m_scr, l_scr, acc_scr)
 
-    def start(slot, i):
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_k_ref[ni, i]], kbuf.at[slot], k_sems.at[slot]
-        ).start()
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_v_ref[ni, i]], vbuf.at[slot], v_sems.at[slot]
-        ).start()
-
-    def wait(slot, i):
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_k_ref[ni, i]], kbuf.at[slot], k_sems.at[slot]
-        ).wait()
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_v_ref[ni, i]], vbuf.at[slot], v_sems.at[slot]
-        ).wait()
-
-    def compute(slot, i):
-        _sr_update(
-            q_ref[0], kbuf[slot], vbuf[slot], ctx, i * block_size,
-            m_scr, l_scr, acc_scr,
-            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+    def dmas(slot, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, ni, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, last_page, ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, ni, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, last_page, ppc,
         )
 
-    _db_loop(nb, start, wait, compute)
+    def start(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        _sr_update(
+            q_ref[0], kbuf[slot], vbuf[slot], ctx, ci * cbs,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    _db_loop(nb_chunks, start, wait, compute)
     denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
     o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
@@ -334,33 +373,39 @@ def _grouped_kernel_db(
     ctx_max = ctx_rows[0]
     for c in ctx_rows[1:]:
         ctx_max = jnp.maximum(ctx_max, c)
-    nb = pl.cdiv(ctx_max, block_size)
+    ppc = _pages_per_chunk(block_size)
+    nb_pages = pl.cdiv(ctx_max, block_size)
+    nb_chunks = pl.cdiv(nb_pages, ppc)
+    last_page = nb_pages - 1
     _init_scratch(m_scr, l_scr, acc_scr)
 
-    def start(slot, i):
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_k_ref[bi, i]], kbuf.at[slot], k_sems.at[slot]
-        ).start()
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_v_ref[bi, i]], vbuf.at[slot], v_sems.at[slot]
-        ).start()
-
-    def wait(slot, i):
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_k_ref[bi, i]], kbuf.at[slot], k_sems.at[slot]
-        ).wait()
-        pltpu.make_async_copy(
-            blocks_ref.at[bt_v_ref[bi, i]], vbuf.at[slot], v_sems.at[slot]
-        ).wait()
-
-    def compute(slot, i):
-        _gr_update(
-            q_ref[...], kbuf[slot], vbuf[slot], ctx_rows, i * block_size,
-            m_scr, l_scr, acc_scr,
-            scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+    def dmas(slot, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, bi, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, last_page, ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, bi, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, last_page, ppc,
         )
 
-    _db_loop(nb, start, wait, compute)
+    def start(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        _gr_update(
+            q_ref[...], kbuf[slot], vbuf[slot], ctx_rows, ci * cbs,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    _db_loop(nb_chunks, start, wait, compute)
     _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
@@ -677,11 +722,15 @@ def paged_attention_pallas_grouped(
         pltpu.VMEM((hkv * r * g, d), jnp.float32),
     ]
 
-    if scales is None and (hkv * d) % 128 == 0:
+    if scales is None and d % 128 == 0:
         # double-buffered per-group kernel: grid (B,), manual DMA over the
-        # group's ACTUAL context blocks; cache folded to [NBtot, BS, Hkv*D]
-        # (manual HBM DMA slices need a 128-aligned minor dim)
-        blocks2 = blocks.reshape(blocks.shape[0], bs, hkv * d)
+        # group's ACTUAL context blocks. The operand keeps the
+        # [NBtot, BS, Hkv, D] layout (the leading-dim merge in
+        # _cache_parts is a free bitcast; a trailing (Hkv, D) fold is
+        # NOT — it materialized a 2.3 GB layout copy per pallas_call
+        # inside the fused loop, ~8.7 ms/layer). Manual HBM DMA slices
+        # need the minor dim 128-aligned, hence d % 128 == 0; smaller
+        # head dims take the BlockSpec fallback below.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b,),
@@ -691,11 +740,11 @@ def paged_attention_pallas_grouped(
             ],
             out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
-                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
                 *acc_scratch,
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+                pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
             ],
         )
         return pl.pallas_call(
@@ -706,7 +755,7 @@ def paged_attention_pallas_grouped(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
             interpret=interpret,
-        )(bt_k, bt_v, context_lens, q, blocks2)
+        )(bt_k, bt_v, context_lens, q, blocks)
 
     # fallback: BlockSpec-pipelined grid (B, M) kernel (quantized caches,
     # or Hkv*D not lane-aligned)
@@ -953,9 +1002,8 @@ def paged_attention_pallas(
         pltpu.VMEM((hq, d), jnp.float32),
     ]
 
-    if scales is None and (hkv * d) % 128 == 0:
+    if scales is None and d % 128 == 0:
         # double-buffered per-row kernel (see paged_attention_pallas_grouped)
-        blocks2 = blocks.reshape(blocks.shape[0], bs, hkv * d)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n,),
@@ -965,11 +1013,11 @@ def paged_attention_pallas(
             ],
             out_specs=pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
-                pltpu.VMEM((2, bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
                 *acc_scratch,
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+                pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
             ],
         )
         return pl.pallas_call(
@@ -979,7 +1027,7 @@ def paged_attention_pallas(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
             interpret=interpret,
-        )(bt_k, bt_v, context_lens, q, blocks2)
+        )(bt_k, bt_v, context_lens, q, blocks)
 
     # fallback: BlockSpec-pipelined grid (N, M) kernel
     def _mi_eff(ni, mi, cl):

@@ -61,8 +61,9 @@ def main():
         os.environ["NANO_PEARL_PALLAS"] = "0"
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     import bench as benchmod
@@ -78,7 +79,7 @@ def main():
         return ModelConfig(
             architecture="LlamaForCausalLM", hidden_size=1024,
             intermediate_size=4096, num_hidden_layers=layers,
-            num_attention_heads=16, num_key_value_heads=2,
+            num_attention_heads=8, num_key_value_heads=2,
             vocab_size=32768, eos_token_id=1,
             dtype="float32" if args.cpu else "bfloat16",
             max_position_embeddings=2048,
@@ -113,7 +114,8 @@ def main():
     seqs = list(engine.scheduler.running)
     for s_ in seqs:
         s_.max_tokens = 2**30
-    state = engine.orchestrator._build_fused_state(seqs, lambda s: max_len - 80)
+    engine.scheduler.schedule_decode(lookahead=lambda s: max_len - 80, strict=False)
+    state = engine.orchestrator._build_fused_state(seqs)
     if args.ctx:
         # steady-state context: distinct random block ids per sequence so
         # the attention kernels pay the real per-block DMA traffic
@@ -128,32 +130,32 @@ def main():
     num_input = jnp.full((b,), gamma, jnp.int32)
 
     def timed(make_body, init_carry, extra):
-        """time one iteration of scan(body) via trip-count differencing."""
+        """Time one body evaluation by chaining async dispatches of the
+        SMALL jitted body (carry threads the dependency) and differencing
+        two rep counts — the former scan-differencing approach compiled
+        scan(hi)-sized programs that the remote compiler could not handle
+        (50-min compiles, broken-pipe failures)."""
+        prog = jax.jit(make_body, donate_argnums=0)
 
-        def run(n_steps):
-            @jax.jit
-            def prog(carry, extra):
-                def step(c, _):
-                    return make_body(c, extra), None
-
-                out, _ = jax.lax.scan(step, carry, None, length=n_steps)
-                return jax.tree.reduce(
-                    lambda a, x: a + x.sum().astype(jnp.float32)
-                    if x.dtype != jnp.bool_ else a,
-                    out, jnp.float32(0),
-                )
-
-            # warm (compile) + 2 timed reps, best kept
-            float(prog(init_carry, extra))
+        def run(reps):
+            # donation invalidates the input arrays (several variants
+            # seed from the same target.kv): chain from a private copy
+            c = jax.block_until_ready(
+                prog(jax.tree.map(jnp.copy, init_carry), extra)
+            )  # compile
             best = 1e9
             for _ in range(2):
+                cc = c
                 t0 = time.perf_counter()
-                float(prog(init_carry, extra))
+                for _ in range(reps):
+                    cc = prog(cc, extra)
+                jax.block_until_ready(cc)
                 best = min(best, time.perf_counter() - t0)
+                c = cc
             return best
 
         t_lo, t_hi = run(args.lo), run(args.hi)
-        return (t_hi - t_lo) / (args.hi - args.lo)
+        return max(t_hi - t_lo, 1e-9) / (args.hi - args.lo)
 
     class _Results(dict):
         # print incrementally (labelled provisional — the final summary
