@@ -24,8 +24,19 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="nano-pearl-tpu dataset eval")
-    p.add_argument("--draft-model", "-d", required=True)
-    p.add_argument("--target-model", "-t", required=True)
+    p.add_argument("--draft-model", "-d", default=None)
+    p.add_argument("--target-model", "-t", default=None)
+    p.add_argument(
+        "--layer-share", type=str, default=None, metavar="DL,TL",
+        help="weightless mode: build an in-memory layer-share pair with "
+        "DL draft / TL target layers instead of loading checkpoints "
+        "(bench.py's default scenario; use with --token-ids datasets)",
+    )
+    p.add_argument(
+        "--draft-noise", type=float, default=0.0,
+        help="layer-share mode: relative gaussian noise on the draft's "
+        "layer weights (realistic acceptance; see bench.py --draft-noise)",
+    )
     p.add_argument("--draft-tp", type=int, default=1)
     p.add_argument("--target-tp", type=int, default=1)
     p.add_argument("--data-path", required=True, help="JSONL dataset")
@@ -73,9 +84,37 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from nano_pearl_tpu import PearlConfig, PearlEngine, SamplingParams, logger
 
+    dparams = tparams = None
+    draft_model, target_model = args.draft_model, args.target_model
+    if args.layer_share:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import bench as benchmod
+        from nano_pearl_tpu.config import ModelConfig
+
+        dl, tl = (int(x) for x in args.layer_share.split(","))
+
+        def mc(layers):
+            return ModelConfig(
+                architecture="LlamaForCausalLM", hidden_size=1024,
+                intermediate_size=4096, num_hidden_layers=layers,
+                num_attention_heads=8, num_key_value_heads=2,
+                vocab_size=32768, eos_token_id=1,
+                dtype="float32" if args.cpu else "bfloat16",
+                max_position_embeddings=args.max_model_len,
+            )
+
+        draft_model, target_model = mc(dl), mc(tl)
+        dparams, tparams = benchmod.build_layer_share_pair(
+            draft_model, target_model, args.seed, args.draft_noise
+        )
+    else:
+        assert draft_model and target_model, "pass -d/-t or --layer-share"
+
     config = PearlConfig(
-        draft_model=args.draft_model,
-        target_model=args.target_model,
+        draft_model=draft_model,
+        target_model=target_model,
         draft_tp=args.draft_tp,
         target_tp=args.target_tp,
         max_model_len=args.max_model_len,
@@ -84,7 +123,7 @@ def main():
         draft_quant=args.quant, target_quant=args.quant,
         draft_kv_quant=args.kv_quant, target_kv_quant=args.kv_quant,
     )
-    engine = PearlEngine(config)
+    engine = PearlEngine(config, draft_params=dparams, target_params=tparams)
     rows = load_dataset(args.data_path, args.num_samples)
     prompts = [r["turns"][0] for r in rows]
 

@@ -331,7 +331,7 @@ class GroupRunner:
         the scan's scatters stay in place) and attention merges the
         prefix and fresh-KV partial softmaxes
         (ops/attention.prefill_prefix_attention_jnp)."""
-        pk, pv = gather_prefix_kv(kv, block_tables[:, :m_pre])
+        pk, pv = gather_prefix_kv(kv, block_tables[:, :m_pre], self.cfg.head_dim)
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill_prefix, (pk, pv, num_cached, q_positions),

@@ -37,29 +37,30 @@ from nano_pearl_tpu.ops.kv_cache import (
 NEG_INF = -1e30
 
 
-def _gather_kv(cache, layer_idx, block_tables):
+def _gather_kv(cache, layer_idx, block_tables, head_dim):
     """Gather K and V rows for the given block-table rows from the FULL
     cache via layer-folded block indices (see kv_cache.global_block_offsets),
     dequantizing int8 caches after the gather (half the HBM read volume).
     Returns (k, v) shaped [..., M*BS, Hkv, D] in the cache dtype (f32 for
-    quantized caches). Downstream einsums accumulate in f32
+    quantized caches); the gathered copy is unfolded from the cache's
+    [..., Hkv*D] storage layout. Downstream einsums accumulate in f32
     (preferred_element_type) — bf16 inputs are exact in f32, so keeping
     the gathered copy in bf16 halves its HBM traffic without changing a
     single bit of the result."""
-    bs, hkv, d = cache_kv_dims(cache)
+    bs, hkv, d = cache_kv_dims(cache, head_dim)
     lead = block_tables.shape[:-1]
     m = block_tables.shape[-1]
     s_len = m * bs
     k_off, v_off = global_block_offsets(cache, layer_idx)
     if cache_is_quantized(cache):
-        qb = cache["q"].reshape(-1, bs, hkv, d)
+        qb = cache["q"].reshape(-1, bs, hkv * d)
         sb = cache["s"].reshape(-1, bs, hkv)
-        kq = qb[block_tables + k_off].reshape(*lead, s_len, hkv, d)
-        vq = qb[block_tables + v_off].reshape(*lead, s_len, hkv, d)
+        kq = qb[block_tables + k_off].reshape(*lead, s_len, hkv * d)
+        vq = qb[block_tables + v_off].reshape(*lead, s_len, hkv * d)
         ks = sb[block_tables + k_off].reshape(*lead, s_len, hkv)
         vs = sb[block_tables + v_off].reshape(*lead, s_len, hkv)
-        return dequant_rows(kq, ks), dequant_rows(vq, vs)
-    blocks = cache.reshape(-1, bs, hkv, d)
+        return dequant_rows(kq, ks, d), dequant_rows(vq, vs, d)
+    blocks = cache.reshape(-1, bs, hkv * d)
     k = blocks[block_tables + k_off].reshape(*lead, s_len, hkv, d)
     v = blocks[block_tables + v_off].reshape(*lead, s_len, hkv, d)
     return k, v
@@ -74,12 +75,12 @@ def paged_attention_jnp(
     scale: float,
 ) -> jax.Array:
     n, hq, d = q.shape
-    bs, hkv, _d = cache_kv_dims(cache)
+    bs, hkv, _d = cache_kv_dims(cache, d)
     m = block_tables.shape[1]
     s = m * bs
     g = hq // hkv
 
-    k, v = _gather_kv(cache, layer_idx, block_tables)
+    k, v = _gather_kv(cache, layer_idx, block_tables, d)
 
     qg = q.reshape(n, hkv, g, d)
     scores = (
@@ -119,11 +120,11 @@ def prefill_attention_jnp(
     b, m = block_tables.shape
     n, hq, d = q.shape
     lq = n // b
-    bs, hkv, _d = cache_kv_dims(cache)
+    bs, hkv, _d = cache_kv_dims(cache, d)
     s = m * bs
     g = hq // hkv
 
-    k, v = _gather_kv(cache, layer_idx, block_tables)
+    k, v = _gather_kv(cache, layer_idx, block_tables, d)
     qb = q.reshape(b, lq, hkv, g, d)
 
     def chunk_attn(args):
@@ -236,7 +237,7 @@ def prefill_self_attention(
     )
 
 
-def gather_prefix_kv(cache, block_tables: jax.Array):
+def gather_prefix_kv(cache, block_tables: jax.Array, head_dim: int):
     """Pre-gather the cached-prefix K/V for ALL layers:
     [L, B, M*BS, Hkv, D] (x2). Runs BEFORE the layer scan, so the scan's
     KV scatters never conflict with a cache read and stay in place (see
@@ -244,12 +245,15 @@ def gather_prefix_kv(cache, block_tables: jax.Array):
     dequantize here (f32)."""
     if cache_is_quantized(cache):
         q, s = cache["q"], cache["s"]
-        k = dequant_rows(q[:, 0][:, block_tables], s[:, 0][:, block_tables])
-        v = dequant_rows(q[:, 1][:, block_tables], s[:, 1][:, block_tables])
+        k = dequant_rows(q[:, 0][:, block_tables], s[:, 0][:, block_tables], head_dim)
+        v = dequant_rows(q[:, 1][:, block_tables], s[:, 1][:, block_tables], head_dim)
+        l, b, m, bs, hkv, d = k.shape
     else:
-        k = cache[:, 0][:, block_tables]  # [L, B, M, BS, Hkv, D]
+        k = cache[:, 0][:, block_tables]  # [L, B, M, BS, Hkv*D]
         v = cache[:, 1][:, block_tables]
-    l, b, m, bs, hkv, d = k.shape
+        l, b, m, bs = k.shape[:4]
+        d = head_dim
+        hkv = k.shape[-1] // d
     return k.reshape(l, b, m * bs, hkv, d), v.reshape(l, b, m * bs, hkv, d)
 
 

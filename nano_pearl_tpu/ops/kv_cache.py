@@ -4,15 +4,24 @@ TPU-native replacement for the reference's Triton scatter kernel
 (reference: nano_pearl/layers/attention.py:10-44, ``store_kvcache_kernel``).
 
 Layout: one array per model, ``[L, 2, num_blocks + 1, block_size,
-n_kv_heads, head_dim]``, sharded over kv heads. The final "+1" block is
-a garbage block: padded batch rows (static-shape bucketing, the TPU
-analogue of the reference's CUDA-graph padding with slot==-1) write
-there instead of being skipped, so the scatter needs no branch.
+n_kv_heads * head_dim]``, sharded over the folded head axis. The head and
+head-dim axes are FOLDED into one trailing axis deliberately: TPU tiles
+an array's last two dims as (8, 128), so a ``[..., BS, Hkv, D]`` layout
+with few KV heads pads the sublane dim 2 -> 8 — 4x physical HBM and 4x
+slow, strided DMA/scatter traffic on every cache access (measured on
+v5e: the packed-verify attention at 40 ms/forward against a ~1 ms
+roofline). The folded ``[..., BS, Hkv*D]`` trailing dims tile exactly.
+Per-head K/V are column slices ``[:, kh*D:(kh+1)*D]``.
+
+The final "+1" block is a garbage block: padded batch rows (static-shape
+bucketing, the TPU analogue of the reference's CUDA-graph padding with
+slot==-1) write there instead of being skipped, so the scatter needs no
+branch.
 
 The scatter itself is a flat row-wise ``.at[slots].set`` which XLA
-lowers to an efficient dynamic-update scatter; a Pallas kernel is kept
-as an upgrade path in nano_pearl_tpu/ops/pallas/ for when profiling
-shows the XLA scatter off speed-of-light.
+lowers to an in-place dynamic-update scatter; the Pallas attention
+kernels DMA block slices directly from this layout
+(nano_pearl_tpu/ops/pallas/paged_attention.py).
 """
 
 from __future__ import annotations
@@ -39,21 +48,22 @@ def make_kv_cache(
     scale per (slot, head) — half the HBM traffic for the
     decode-attention gather (north-star KV-cache quantization). The
     cache is then the pytree
-    {"q": int8|e4m3 [L,2,NB+1,BS,Hkv,D], "s": f32 [L,2,NB+1,BS,Hkv]}.
+    {"q": int8|e4m3 [L,2,NB+1,BS,Hkv*D], "s": f32 [L,2,NB+1,BS,Hkv]}.
     """
     from nano_pearl_tpu.ops.quant import quant_storage_dtype
 
-    shape = (num_layers, 2, num_blocks + 1, block_size, n_kv_heads, head_dim)
+    shape = (num_layers, 2, num_blocks + 1, block_size, n_kv_heads * head_dim)
     if quant in ("int8", "fp8"):
         qdt = quant_storage_dtype(quant)
+        s_shape = shape[:-1] + (n_kv_heads,)
         q_sh = s_sh = None
         if sharding is not None:
             q_sh, s_sh = sharding["q"], sharding["s"]
         q = jnp.zeros(shape, dtype=qdt, device=q_sh) if q_sh else jnp.zeros(shape, qdt)
         s = (
-            jnp.zeros(shape[:-1], dtype=jnp.float32, device=s_sh)
+            jnp.zeros(s_shape, dtype=jnp.float32, device=s_sh)
             if s_sh
-            else jnp.zeros(shape[:-1], jnp.float32)
+            else jnp.zeros(s_shape, jnp.float32)
         )
         return {"q": q, "s": s}
     if sharding is not None:
@@ -65,26 +75,29 @@ def cache_is_quantized(layer_cache) -> bool:
     return isinstance(layer_cache, dict)
 
 
-def cache_kv_dims(layer_cache) -> tuple[int, int, int]:
-    """(block_size, n_kv_heads, head_dim) of a per-layer cache node."""
+def cache_kv_dims(layer_cache, head_dim: int) -> tuple[int, int, int]:
+    """(block_size, n_kv_heads, head_dim) of a cache node; the folded
+    trailing axis needs ``head_dim`` supplied to recover the split."""
     arr = layer_cache["q"] if cache_is_quantized(layer_cache) else layer_cache
-    return arr.shape[-3], arr.shape[-2], arr.shape[-1]
+    return arr.shape[-2], arr.shape[-1] // head_dim, head_dim
 
 
-def dequant_rows(q_rows: jax.Array, s_rows: jax.Array) -> jax.Array:
-    """int8 gathered rows [..., Hkv, D] * scales [..., Hkv] -> f32."""
-    return q_rows.astype(jnp.float32) * s_rows[..., None]
+def dequant_rows(q_rows: jax.Array, s_rows: jax.Array, head_dim: int) -> jax.Array:
+    """int8 gathered rows [..., Hkv*D] * scales [..., Hkv] -> f32
+    [..., Hkv, D] (unfolded for the jnp attention paths)."""
+    hkv = s_rows.shape[-1]
+    unfolded = q_rows.reshape(q_rows.shape[:-1] + (hkv, head_dim))
+    return unfolded.astype(jnp.float32) * s_rows[..., None]
 
 
 def global_block_offsets(cache, layer_idx):
     """(k_off, v_off): block-index offsets of layer ``layer_idx`` inside
-    the cache flattened to [(L*2*(NB+1)), BS, Hkv, D].
+    the cache flattened to [(L*2*(NB+1)), BS, Hkv*D].
 
     Layer-folded addressing lets every KV write be a scatter INTO the
     full carried cache buffer and every read a gather FROM it — no
     dynamic-slice + write-back of a layer, which XLA can turn into a
-    full-cache copy per layer inside scan/while loops (measured ~10x off
-    the HBM roofline before this layout)."""
+    full-cache copy per layer inside scan/while loops."""
     arr = cache["q"] if cache_is_quantized(cache) else cache
     nb1 = arr.shape[2]
     k_off = (layer_idx * 2) * nb1
@@ -97,7 +110,7 @@ def _flat_rows(cache_arr):
 
 
 def write_kv(
-    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] array or {"q","s"} pytree
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] array or {"q","s"} pytree
     k: jax.Array,  # [N, Hkv, D]
     v: jax.Array,  # [N, Hkv, D]
     slots: jax.Array,  # [N] int32 flat slot = block_id * BS + offset
@@ -110,6 +123,7 @@ def write_kv(
     For a quantized cache, rows are quantized with a per-(token, head)
     scale at write time (int8: round-to-int grid; fp8 e4m3: convert).
     """
+    n = k.shape[0]
     k_off, v_off = global_block_offsets(cache, layer_idx)
     if cache_is_quantized(cache):
         from nano_pearl_tpu.ops.quant import FP8_MAX
@@ -130,17 +144,21 @@ def write_kv(
             v_s = jnp.maximum(v_amax, 1e-8) / FP8_MAX
             k_q = jnp.clip(kf / k_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
             v_q = jnp.clip(vf / v_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
-        qrows = _flat_rows(qc).reshape(-1, *qc.shape[4:])  # [(L*2*NB1*BS), Hkv, D]
-        srows = _flat_rows(sc).reshape(-1, *sc.shape[4:])
-        qrows = qrows.at[k_off * bs + slots].set(k_q, mode="drop")
-        qrows = qrows.at[v_off * bs + slots].set(v_q, mode="drop")
+        qrows = _flat_rows(qc).reshape(-1, qc.shape[-1])  # [(L*2*NB1*BS), Hkv*D]
+        srows = _flat_rows(sc).reshape(-1, sc.shape[-1])
+        qrows = qrows.at[k_off * bs + slots].set(k_q.reshape(n, -1), mode="drop")
+        qrows = qrows.at[v_off * bs + slots].set(v_q.reshape(n, -1), mode="drop")
         srows = srows.at[k_off * bs + slots].set(k_s, mode="drop")
         srows = srows.at[v_off * bs + slots].set(v_s, mode="drop")
         return {"q": qrows.reshape(qc.shape), "s": srows.reshape(sc.shape)}
     bs = cache.shape[3]
-    rows = cache.reshape(-1, *cache.shape[4:])  # [(L*2*NB1*BS), Hkv, D]
-    rows = rows.at[k_off * bs + slots].set(k.astype(rows.dtype), mode="drop")
-    rows = rows.at[v_off * bs + slots].set(v.astype(rows.dtype), mode="drop")
+    rows = cache.reshape(-1, cache.shape[-1])  # [(L*2*NB1*BS), Hkv*D]
+    rows = rows.at[k_off * bs + slots].set(
+        k.reshape(n, -1).astype(rows.dtype), mode="drop"
+    )
+    rows = rows.at[v_off * bs + slots].set(
+        v.reshape(n, -1).astype(rows.dtype), mode="drop"
+    )
     return rows.reshape(cache.shape)
 
 

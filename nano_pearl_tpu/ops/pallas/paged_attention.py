@@ -39,33 +39,43 @@ NEG_INF = -1e30
 # --------------------------------------------------------- shared math
 
 
-def _kv_head(arr, kh: int, d: int):
-    """K/V rows for kv head ``kh`` -> [BS, D]. Accepts either the
-    [BS, Hkv, D] layout (BlockSpec-pipelined kernels) or the FOLDED
-    [BS, Hkv*D] layout (double-buffered kernels: manual HBM DMA slices
-    must keep the minor dim 128-aligned, so the (Hkv, D) tail is folded
-    into one lane-aligned axis and heads become column slices)."""
+def _kv_head(arr, kh: int, d: int, scales=None, out_dt=None):
+    """K/V rows for kv head ``kh`` -> [BS, D]. The cache stores the
+    (Hkv, D) tail FOLDED into one lane-aligned [BS, Hkv*D] axis (TPU
+    tiles the last two dims (8, 128): an unfolded [BS, Hkv, D] tail with
+    few kv heads pads the sublane dim 2 -> 8, 4x HBM and 4x DMA
+    traffic), so heads are column slices; the unfolded 3D layout is
+    still accepted for fresh-KV operands. With ``scales`` ([BS, Hkv]
+    per-(slot, head) int8/fp8 scales) the head is dequantized here —
+    only the slice actually used, on 2D shapes Mosaic vectorizes."""
     if arr.ndim == 3:
-        return arr[:, kh, :]
-    return jax.lax.slice(arr, (0, kh * d), (arr.shape[0], (kh + 1) * d))
+        h = arr[:, kh, :]
+    else:
+        h = jax.lax.slice(arr, (0, kh * d), (arr.shape[0], (kh + 1) * d))
+    if scales is not None:
+        s = jax.lax.slice(scales, (0, kh), (scales.shape[0], kh + 1))  # [BS, 1]
+        h = (h.astype(jnp.float32) * s).astype(out_dt)
+    return h
 
 
 def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
-               block_size, num_kv_heads):
+               block_size, num_kv_heads, k_scales=None, v_scales=None):
     """One flash update for a single query row: q [Hq, D], k/v
     [BS, Hkv, D] or folded [BS, Hkv*D] in their NATIVE dtype (bf16 stays
     bf16 — the MXU runs bf16 x bf16 -> f32 at full rate, f32 x f32 at
-    half), scalar ctx bound. Softmax statistics and the accumulator stay
-    f32."""
+    half), scalar ctx bound. Quantized blocks pass their scales and are
+    dequantized per used head (see _kv_head). Softmax statistics and the
+    accumulator stay f32."""
     hq, d = q.shape
     g = hq // num_kv_heads
+    vdt = q.dtype if v_scales is not None else v.dtype
 
     # per-kv-head 2D matmuls (static unroll over the few kv heads —
     # Mosaic wants plain [M,K]x[K,N] contractions on the MXU)
     s_parts = []
     for kh in range(num_kv_heads):
         qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
-        kh_blk = _kv_head(k, kh, d)  # [BS, D]
+        kh_blk = _kv_head(k, kh, d, k_scales, q.dtype)  # [BS, D]
         s_parts.append(
             jax.lax.dot_general(
                 qh, kh_blk,
@@ -83,11 +93,11 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     p = jnp.exp(s2 - m_new)  # [Hq, BS]
 
     l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    p = p.astype(v.dtype)  # p in [0,1]: bf16 PV matmul, f32 accumulate
+    p = p.astype(vdt)  # p in [0,1]: bf16 PV matmul, f32 accumulate
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
-        vh = _kv_head(v, kh, d)  # [BS, D]
+        vh = _kv_head(v, kh, d, v_scales, q.dtype)  # [BS, D]
         pv_parts.append(
             jax.lax.dot_general(
                 ph, vh,
@@ -102,12 +112,13 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
 
 
 def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
-               block_size, num_kv_heads):
+               block_size, num_kv_heads, k_scales=None, v_scales=None):
     """One flash update for R grouped query rows sharing a KV block:
-    q [R, Hq, D], k/v [BS, Hkv, D] in their NATIVE dtype (see
-    _sr_update), ctx_rows: R scalars."""
+    q [R, Hq, D], k/v [BS, Hkv, D] or folded [BS, Hkv*D] in their NATIVE
+    dtype (see _sr_update), ctx_rows: R scalars."""
     r, hq, d = q.shape
     g = hq // num_kv_heads
+    vdt = q.dtype if v_scales is not None else v.dtype
 
     # [R*G, 1] per-flat-row context bound (2D everywhere for Mosaic)
     ctx_col = jnp.concatenate(
@@ -122,7 +133,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
     for kh in range(num_kv_heads):
         qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
         s = jax.lax.dot_general(
-            qh, _kv_head(k, kh, d),
+            qh, _kv_head(k, kh, d, k_scales, q.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R*G, BS]
@@ -135,13 +146,13 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
     p = jnp.exp(s2 - m_new)
     l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    p = p.astype(v.dtype)  # p in [0,1]: bf16 PV matmul, f32 accumulate
+    p = p.astype(vdt)  # p in [0,1]: bf16 PV matmul, f32 accumulate
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
         pv_parts.append(
             jax.lax.dot_general(
-                ph, _kv_head(v, kh, d),
+                ph, _kv_head(v, kh, d, v_scales, q.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [R*G, D]
@@ -176,8 +187,8 @@ def _init_scratch(m_scr, l_scr, acc_scr):
 def _kernel(
     bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch (SMEM)
     q_ref,  # [1, Hq, D]
-    k_ref,  # [1, BS, Hkv, D]
-    v_ref,  # [1, BS, Hkv, D]
+    k_ref,  # [1, BS, Hkv*D]
+    v_ref,  # [1, BS, Hkv*D]
     o_ref,  # [1, Hq, D]
     m_scr, l_scr, acc_scr,
     *, scale: float, block_size: int, num_kv_heads: int,
@@ -210,7 +221,7 @@ def _kernel(
 def _grouped_kernel(
     bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch
     q_ref,  # [R, Hq, D]
-    k_ref, v_ref,  # [1, BS, Hkv, D]
+    k_ref, v_ref,  # [1, BS, Hkv*D]
     o_ref,  # [R, Hq, D]
     m_scr, l_scr, acc_scr,
     *, scale: float, block_size: int, num_kv_heads: int, rows: int,
@@ -314,9 +325,9 @@ def _chunk_dmas(blocks_ref, bt_ref, row, ci, buf, sems, bs, last_page, ppc):
 def _kernel_db(
     bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch (SMEM)
     q_ref,  # [1, Hq, D] VMEM
-    blocks_ref,  # [L*2*(NB+1), BS, Hkv, D] HBM (manual DMA)
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA)
     o_ref,  # [1, Hq, D] VMEM
-    kbuf, vbuf,  # VMEM (2, C*BS, Hkv, D)
+    kbuf, vbuf,  # VMEM (2, C*BS, Hkv*D)
     m_scr, l_scr, acc_scr,
     k_sems, v_sems,  # DMA semaphores (2, C)
     *, scale: float, block_size: int, num_kv_heads: int,
@@ -415,7 +426,7 @@ def _grouped_kernel_db(
 def _kernel_q8(
     bt_k_ref, bt_v_ref, context_lens_ref,
     q_ref,  # [1, Hq, D]
-    k_ref,  # [1, BS, Hkv, D] int8
+    k_ref,  # [1, BS, Hkv*D] int8
     ks_ref,  # [1, BS, Hkv] f32 scales
     v_ref, vs_ref,
     o_ref,
@@ -435,15 +446,13 @@ def _kernel_q8(
 
     @pl.when(block_start < ctx)
     def _compute():
-        # dequantize to the query dtype: bf16 operands keep the MXU at
-        # full rate (the f32 dequant product is a VPU-side convert)
-        dt = q_ref.dtype
-        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
-        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
+        # dequantize per used head inside the update (bf16 operands keep
+        # the MXU at full rate; the dequant product is a VPU convert)
         _sr_update(
-            q_ref[0], k, v,
+            q_ref[0], k_ref[0], v_ref[0],
             ctx, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+            k_scales=ks_ref[0], v_scales=vs_ref[0],
         )
 
     @pl.when(m == num_m - 1)
@@ -476,13 +485,11 @@ def _grouped_kernel_q8(
 
     @pl.when(block_start < ctx_max)
     def _compute():
-        dt = q_ref.dtype
-        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
-        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
         _gr_update(
-            q_ref[...], k, v,
+            q_ref[...], k_ref[0], v_ref[0],
             ctx_rows, block_start, m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+            k_scales=ks_ref[0], v_scales=vs_ref[0],
         )
 
     @pl.when(m == num_m - 1)
@@ -597,12 +604,11 @@ def _kernel_partial_q8(
 
     @pl.when((block_start < ctx) & (is_local_ref[n, m] != 0))
     def _compute():
-        dt = q_ref.dtype
-        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
-        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
         _sr_update(
-            q_ref[0], k, v, ctx, block_start, m_scr, l_scr, acc_scr,
+            q_ref[0], k_ref[0], v_ref[0], ctx, block_start,
+            m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+            k_scales=ks_ref[0], v_scales=vs_ref[0],
         )
 
     @pl.when(m == num_m - 1)
@@ -667,12 +673,11 @@ def _grouped_kernel_partial_q8(
 
     @pl.when((block_start < ctx_max) & (is_local_ref[bi, m] != 0))
     def _compute():
-        dt = q_ref.dtype
-        k = (k_ref[0].astype(jnp.float32) * ks_ref[0][..., None]).astype(dt)
-        v = (v_ref[0].astype(jnp.float32) * vs_ref[0][..., None]).astype(dt)
         _gr_update(
-            q_ref[...], k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr,
+            q_ref[...], k_ref[0], v_ref[0], ctx_rows, block_start,
+            m_scr, l_scr, acc_scr,
             scale=scale, block_size=block_size, num_kv_heads=num_kv_heads,
+            k_scales=ks_ref[0], v_scales=vs_ref[0],
         )
 
     @pl.when(m == num_m - 1)
@@ -683,24 +688,28 @@ def _grouped_kernel_partial_q8(
 # ------------------------------------------------------------- dispatch
 
 
-def _cache_parts(cache, layer_idx, tables):
+def _cache_parts(cache, layer_idx, tables, head_dim):
     """(blocks, scales_or_None, bt_k, bt_v, dims). ``blocks`` is the
-    cache flattened to [(L*2*(NB+1)), BS, Hkv, D]; table entries are
-    layer-folded global block ids."""
+    cache flattened to [(L*2*(NB+1)), BS, Hkv*D] — the trailing head/dim
+    axes stay FOLDED exactly as stored (ops/kv_cache.py layout note), so
+    the leading-dim merge is a free bitcast and every kernel block keeps
+    a lane-aligned minor dim; table entries are layer-folded global
+    block ids."""
     from nano_pearl_tpu.ops.kv_cache import cache_is_quantized, global_block_offsets
 
     quant = cache_is_quantized(cache)
     arr = cache["q"] if quant else cache
-    l, _, nb1, bs, hkv, d = arr.shape
-    blocks = arr.reshape(l * 2 * nb1, bs, hkv, d)
+    l, _, nb1, bs, hd = arr.shape
+    hkv = hd // head_dim
+    blocks = arr.reshape(l * 2 * nb1, bs, hd)
     scales = cache["s"].reshape(l * 2 * nb1, bs, hkv) if quant else None
     k_off, v_off = global_block_offsets(cache, layer_idx)
-    return blocks, scales, tables + k_off, tables + v_off, (bs, hkv, d)
+    return blocks, scales, tables + k_off, tables + v_off, (bs, hkv, head_dim)
 
 
 def paged_attention_pallas_grouped(
     q: jax.Array,  # [B*R, Hq, D] (R packed rows per sequence, seq-major)
-    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] or int8 {"q","s"} pytree
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] or int8 {"q","s"} pytree
     layer_idx,
     group_tables: jax.Array,  # [B, M] int32 (one table per sequence)
     context_lens: jax.Array,  # [B*R] int32
@@ -713,7 +722,7 @@ def paged_attention_pallas_grouped(
     b = n // r
     m = group_tables.shape[1]
     blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
-        cache, layer_idx, group_tables
+        cache, layer_idx, group_tables, d
     )
     g = hq // hkv
     acc_scratch = [
@@ -722,15 +731,12 @@ def paged_attention_pallas_grouped(
         pltpu.VMEM((hkv * r * g, d), jnp.float32),
     ]
 
-    if scales is None and d % 128 == 0:
-        # double-buffered per-group kernel: grid (B,), manual DMA over the
-        # group's ACTUAL context blocks. The operand keeps the
-        # [NBtot, BS, Hkv, D] layout (the leading-dim merge in
-        # _cache_parts is a free bitcast; a trailing (Hkv, D) fold is
-        # NOT — it materialized a 2.3 GB layout copy per pallas_call
-        # inside the fused loop, ~8.7 ms/layer). Manual HBM DMA slices
-        # need the minor dim 128-aligned, hence d % 128 == 0; smaller
-        # head dims take the BlockSpec fallback below.
+    if scales is None and (hkv * d) % 128 == 0:
+        # double-buffered per-group kernel: grid (B,), manual DMA over
+        # the group's ACTUAL context blocks. Manual HBM DMA slices need
+        # the minor dim 128-aligned, which the folded Hkv*D storage axis
+        # satisfies for every realistic head count; non-aligned shapes
+        # take the BlockSpec fallback below.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b,),
@@ -740,8 +746,8 @@ def paged_attention_pallas_grouped(
             ],
             out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
-                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
                 *acc_scratch,
                 pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
                 pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
@@ -772,12 +778,12 @@ def paged_attention_pallas_grouped(
 
     q_spec = pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl: (bi, 0, 0))
     blk_k = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda bi, mi, btk, btv, cl: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda bi, mi, btk, btv, cl: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
     )
     blk_v = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda bi, mi, btk, btv, cl: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda bi, mi, btk, btv, cl: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
     )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]
@@ -817,7 +823,7 @@ def paged_attention_pallas_grouped(
 
 def paged_attention_pallas_partials(
     q: jax.Array,  # [N, Hq, D]
-    cache,  # LOCAL cache shard [L, 2, NB_loc, BS, Hkv, D] or int8 pytree
+    cache,  # LOCAL cache shard [L, 2, NB_loc, BS, Hkv*D] or int8 pytree
     layer_idx,
     block_tables: jax.Array,  # [N, M] LOCAL block ids (pre-clamped by caller)
     context_lens: jax.Array,  # [N]
@@ -830,7 +836,7 @@ def paged_attention_pallas_partials(
     n, hq, d = q.shape
     m = block_tables.shape[1]
     blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
-        cache, layer_idx, block_tables
+        cache, layer_idx, block_tables, d
     )
 
     def _mi_eff(ni, mi, cl):
@@ -838,12 +844,12 @@ def paged_attention_pallas_partials(
 
     q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl, loc: (ni, 0, 0))
     blk_k = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda ni, mi, btk, btv, cl, loc: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda ni, mi, btk, btv, cl, loc: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
     )
     blk_v = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda ni, mi, btk, btv, cl, loc: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda ni, mi, btk, btv, cl, loc: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
     )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]
@@ -911,7 +917,7 @@ def paged_attention_pallas_grouped_partials(
     b = n // r
     m = group_tables.shape[1]
     blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
-        cache, layer_idx, group_tables
+        cache, layer_idx, group_tables, d
     )
     g = hq // hkv
 
@@ -923,12 +929,12 @@ def paged_attention_pallas_grouped_partials(
 
     q_spec = pl.BlockSpec((r, hq, d), lambda bi, mi, btk, btv, cl, loc: (bi, 0, 0))
     blk_k = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda bi, mi, btk, btv, cl, loc: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda bi, mi, btk, btv, cl, loc: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
     )
     blk_v = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda bi, mi, btk, btv, cl, loc: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda bi, mi, btk, btv, cl, loc: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
     )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]
@@ -984,7 +990,7 @@ def paged_attention_pallas_grouped_partials(
 
 def paged_attention_pallas(
     q: jax.Array,  # [N, Hq, D]
-    cache,  # FULL cache [L, 2, NB+1, BS, Hkv, D] or int8 {"q","s"} pytree
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] or int8 {"q","s"} pytree
     layer_idx,  # traced int32
     block_tables: jax.Array,  # [N, M] int32
     context_lens: jax.Array,  # [N] int32
@@ -994,7 +1000,7 @@ def paged_attention_pallas(
     n, hq, d = q.shape
     m = block_tables.shape[1]
     blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
-        cache, layer_idx, block_tables
+        cache, layer_idx, block_tables, d
     )
     acc_scratch = [
         pltpu.VMEM((hq, 128), jnp.float32),
@@ -1002,7 +1008,7 @@ def paged_attention_pallas(
         pltpu.VMEM((hq, d), jnp.float32),
     ]
 
-    if scales is None and d % 128 == 0:
+    if scales is None and (hkv * d) % 128 == 0:
         # double-buffered per-row kernel (see paged_attention_pallas_grouped)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -1013,8 +1019,8 @@ def paged_attention_pallas(
             ],
             out_specs=pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
-                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv, d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+                pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
                 *acc_scratch,
                 pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
                 pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
@@ -1037,12 +1043,12 @@ def paged_attention_pallas(
 
     q_spec = pl.BlockSpec((1, hq, d), lambda ni, mi, btk, btv, cl: (ni, 0, 0))
     blk_k = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda ni, mi, btk, btv, cl: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda ni, mi, btk, btv, cl: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
     )
     blk_v = pl.BlockSpec(
-        (1, bs, hkv, d),
-        lambda ni, mi, btk, btv, cl: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0, 0),
+        (1, bs, hkv * d),
+        lambda ni, mi, btk, btv, cl: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
     )
     if scales is None:
         in_specs = [q_spec, blk_k, blk_v]

@@ -112,12 +112,12 @@ def param_shardings(cfg: ModelConfig, gmesh: GroupMesh) -> dict:
 
 
 def kv_cache_spec(sp: bool = False, pp: bool = False) -> P:
-    """KV cache layout [L, 2, num_blocks, block_size, n_kv_heads, head_dim],
-    sharded over kv heads (each TP shard owns its heads' cache —
-    reference: pearl_model_runner.py:125,134 shards kv heads per rank);
-    under sequence parallelism additionally over the block axis
-    (parallel/sp.py); under pipeline parallelism over the layer axis
-    (parallel/pp.py)."""
+    """KV cache layout [L, 2, num_blocks, block_size, n_kv_heads*head_dim],
+    tp-sharded over the FOLDED trailing head axis (each shard owns whole
+    heads' cache — pad_for_tp guarantees hkv %% tp == 0; reference:
+    pearl_model_runner.py:125,134 shards kv heads per rank); under
+    sequence parallelism additionally over the block axis (parallel/sp.py);
+    under pipeline parallelism over the layer axis (parallel/pp.py)."""
     from nano_pearl_tpu.parallel.mesh import PP_AXIS, SP_AXIS
 
     return P(
@@ -126,7 +126,6 @@ def kv_cache_spec(sp: bool = False, pp: bool = False) -> P:
         SP_AXIS if sp else None,
         None,
         TP_AXIS,
-        None,
     )
 
 

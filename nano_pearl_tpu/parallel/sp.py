@@ -43,7 +43,10 @@ from nano_pearl_tpu.parallel.mesh import SP_AXIS, TP_AXIS
 
 
 def _cache_spec(cache):
-    arr_spec = P(None, None, SP_AXIS, None, TP_AXIS, None)
+    # folded cache [L, 2, NB+1, BS, Hkv*D]: tp shards the trailing folded
+    # head axis (equivalent to sharding kv heads — pad_for_tp guarantees
+    # hkv % tp == 0 so each shard gets whole heads)
+    arr_spec = P(None, None, SP_AXIS, None, TP_AXIS)
     if cache_is_quantized(cache):
         return {"q": arr_spec, "s": P(None, None, SP_AXIS, None, TP_AXIS)}
     return arr_spec
@@ -105,14 +108,14 @@ def _masked_partials(q, k, v, scores_mask, scale):
     return num, den
 
 
-def _local_kv(cache, layer_idx, tables):
+def _local_kv(cache, layer_idx, tables, head_dim):
     """Gather this shard's rows for global block-table ``tables``;
     returns (k, v, is_local [..., M]) with non-local entries clamped (the
     clamped garbage is masked by the caller)."""
     base, nb1_local = _local_block_range(cache)
     local_tables = jnp.clip(tables - base, 0, nb1_local - 1)
     is_local = (tables >= base) & (tables < base + nb1_local)
-    k, v = _gather_kv(cache, layer_idx, local_tables)
+    k, v = _gather_kv(cache, layer_idx, local_tables, head_dim)
     return k, v, is_local
 
 
@@ -180,11 +183,11 @@ def sp_paged_attention(
 
     def body(q, cache, layer_idx, tables, ctx):
         n, hq, d = q.shape
-        bs, hkv, _ = cache_kv_dims(cache)
+        bs, hkv, _ = cache_kv_dims(cache, d)
         m = tables.shape[1]
         s = m * bs
         g = hq // hkv
-        k, v, is_local = _local_kv(cache, layer_idx, tables)
+        k, v, is_local = _local_kv(cache, layer_idx, tables, d)
         slot_valid = jax.lax.broadcasted_iota(jnp.int32, (n, s), 1) < ctx[:, None]
         mask = slot_valid & jnp.repeat(is_local, bs, axis=1)
         num, den = _masked_partials(
@@ -220,10 +223,10 @@ def sp_prefill_attention(
         b, m = tables.shape
         n, hq, d = q.shape
         lq = n // b
-        bs, hkv, _ = cache_kv_dims(cache)
+        bs, hkv, _ = cache_kv_dims(cache, d)
         s = m * bs
         g = hq // hkv
-        k, v, is_local = _local_kv(cache, layer_idx, tables)
+        k, v, is_local = _local_kv(cache, layer_idx, tables, d)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq, s), 2)
         visible = (kv_pos <= q_pos[:, :, None]) & jnp.repeat(is_local, bs, axis=1)[
             :, None, :

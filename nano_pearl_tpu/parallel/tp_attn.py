@@ -28,7 +28,10 @@ from nano_pearl_tpu.parallel.mesh import TP_AXIS
 
 
 def _cache_spec(cache):
-    arr_spec = P(None, None, None, None, TP_AXIS, None)
+    # folded cache [L, 2, NB+1, BS, Hkv*D]: tp shards the trailing folded
+    # head axis; pad_for_tp guarantees hkv % tp == 0 so each shard gets
+    # whole heads (column slices of the folded axis)
+    arr_spec = P(None, None, None, None, TP_AXIS)
     if cache_is_quantized(cache):
         return {"q": arr_spec, "s": P(None, None, None, None, TP_AXIS)}
     return arr_spec

@@ -29,7 +29,7 @@ def test_int8_cache_write_roundtrip():
     from nano_pearl_tpu.ops.kv_cache import dequant_rows
 
     k_fp = np.asarray(fp[0, 0]).reshape(-1, 2, 64)[:48]
-    k_q = np.asarray(dequant_rows(q8["q"][0, 0], q8["s"][0, 0])).reshape(-1, 2, 64)[:48]
+    k_q = np.asarray(dequant_rows(q8["q"][0, 0], q8["s"][0, 0], 64)).reshape(-1, 2, 64)[:48]
     scale = np.abs(k_fp).max(-1, keepdims=True) / 127.0
     assert np.all(np.abs(k_fp - k_q) <= scale * 0.51 + 1e-6)
 
@@ -105,7 +105,7 @@ def test_fp8_cache_write_roundtrip():
     fp = write_kv(fp, k, v, slots, 0)
     f8 = write_kv(f8, k, v, slots, 0)
     k_fp = np.asarray(fp[0, 0]).reshape(-1, 2, 64)[:48]
-    k_q = np.asarray(dequant_rows(f8["q"][0, 0], f8["s"][0, 0])).reshape(-1, 2, 64)[:48]
+    k_q = np.asarray(dequant_rows(f8["q"][0, 0], f8["s"][0, 0], 64)).reshape(-1, 2, 64)[:48]
     assert np.all(np.abs(k_fp - k_q) <= np.abs(k_fp) * 0.0625 + 0.05)
 
 

@@ -24,7 +24,7 @@ def dense_attention(q, k, v, scale, ctx_len):
 
 
 def build_cache(rng, nb, bs, hkv, d, layers=1):
-    cache = rng.standard_normal((layers, 2, nb + 1, bs, hkv, d)).astype(np.float32)
+    cache = rng.standard_normal((layers, 2, nb + 1, bs, hkv * d)).astype(np.float32)
     return jnp.asarray(cache)
 
 
@@ -166,7 +166,7 @@ def test_prefill_prefix_attention_matches_dense():
         k = rng.standard_normal((b * lq, hkv, d)).astype(np.float32)
         v = rng.standard_normal((b * lq, hkv, d)).astype(np.float32)
 
-        pk, pv = gather_prefix_kv(cache, jnp.asarray(bt))
+        pk, pv = gather_prefix_kv(cache, jnp.asarray(bt), d)
         out = np.asarray(
             prefill_prefix_attention_jnp(
                 jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), LI,

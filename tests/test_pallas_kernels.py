@@ -14,7 +14,7 @@ from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 def test_paged_attention_pallas_matches_jnp(seed, hq, hkv):
     rng = np.random.default_rng(seed)
     nb, bs, d = 6, 16, 64
-    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)).astype(np.float32))
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv * d)).astype(np.float32))
     n, m = 5, 4
     q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
     bt = jnp.asarray(rng.integers(0, nb, (n, m)).astype(np.int32))
@@ -30,7 +30,7 @@ def test_paged_attention_pallas_staircase_ctx():
     same sequence sees one more token."""
     rng = np.random.default_rng(2)
     nb, bs, hkv, hq, d = 4, 16, 2, 8, 64
-    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)).astype(np.float32))
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv * d)).astype(np.float32))
     bt_row = rng.integers(0, nb, (1, 3)).astype(np.int32)
     bt = jnp.asarray(np.repeat(bt_row, 4, axis=0))
     q = jnp.asarray(rng.standard_normal((4, hq, d)).astype(np.float32))
@@ -44,7 +44,7 @@ def test_paged_attention_pallas_staircase_ctx():
 def test_paged_attention_pallas_bf16():
     rng = np.random.default_rng(3)
     nb, bs, hkv, hq, d = 4, 16, 2, 8, 64
-    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv, d)), jnp.bfloat16)
+    cache = jnp.asarray(rng.standard_normal((1, 2, nb + 1, bs, hkv * d)), jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((3, hq, d)), jnp.bfloat16)
     bt = jnp.asarray(rng.integers(0, nb, (3, 2)).astype(np.int32))
     ctx = jnp.asarray(np.array([5, 16, 30], np.int32))
@@ -64,7 +64,7 @@ def test_paged_attention_pallas_grouped_matches_jnp(rows):
 
     rng = np.random.default_rng(10 + rows)
     nb, bs, hkv, hq, d = 8, 16, 2, 8, 64
-    cache = jnp.asarray(rng.standard_normal((2, 2, nb + 1, bs, hkv, d)).astype(np.float32))
+    cache = jnp.asarray(rng.standard_normal((2, 2, nb + 1, bs, hkv * d)).astype(np.float32))
     b, m = 3, 4
     bt = jnp.asarray(rng.integers(0, nb, (b, m)).astype(np.int32))
     ctx = np.ones((b, rows), np.int32)

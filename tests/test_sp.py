@@ -51,10 +51,10 @@ def _cache_pair(mesh, quant=None, seed=0):
             "q": (jax.random.normal(key, cache["q"].shape, jnp.float32) * 40).astype(cache["q"].dtype),
             "s": jnp.abs(jax.random.normal(jax.random.key(seed + 1), cache["s"].shape)) * 0.01,
         }
-        spec = {"q": P(None, None, "sp", None, "tp", None), "s": P(None, None, "sp", None, "tp")}
+        spec = {"q": P(None, None, "sp", None, "tp"), "s": P(None, None, "sp", None, "tp")}
     else:
         cache = jax.random.normal(key, cache.shape, cache.dtype)
-        spec = P(None, None, "sp", None, "tp", None)
+        spec = P(None, None, "sp", None, "tp")
     sharded = jax.device_put(
         cache, jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                             is_leaf=lambda x: isinstance(x, P))

@@ -34,7 +34,7 @@ def mesh():
 
 def _cache(rng, l, nb, bs, hkv, d):
     return jnp.asarray(
-        rng.standard_normal((l, 2, nb + 1, bs, hkv, d)).astype(np.float32)
+        rng.standard_normal((l, 2, nb + 1, bs, hkv * d)).astype(np.float32)
     )
 
 

@@ -169,16 +169,22 @@ def main():
 
     # ---- 1. full verify forward (kv carried = real dependency chain;
     # logits folded into the carry so the lm head isn't DCE'd)
-    def body_full(carry, _):
+    # params/rope travel as jit ARGUMENTS (the `extra` slot): closure
+    # captures would inline the full weight set into the HLO as constants
+    # — gigabyte programs the remote compiler cannot digest (this is why
+    # every previous on-chip probe run hung or broke the compile service)
+    pr = (target.params, target.rope_table)
+
+    def body_full(carry, pr_):
+        params, rope = pr_
         kv, c = carry
         kv2, logits = fused._target_packed(
-            target.params, target.rope_table, kv, tokens, length, num_input,
-            bt_t, gamma,
+            params, rope, kv, tokens, length, num_input, bt_t, gamma,
         )
         return kv2, c + logits.mean()
 
     if want("full"):
-        results["full"] = timed(body_full, (target.kv, jnp.float32(0)), None)
+        results["full"] = timed(body_full, (target.kv, jnp.float32(0)), pr)
 
     # slope probe: same engine, smaller packed window -> separates the
     # per-row cost from the per-forward fixed cost
@@ -186,15 +192,15 @@ def main():
         g2 = max(1, gamma // 2)
         ni2 = jnp.full((b,), g2, jnp.int32)
 
-        def body_full_g2(carry, _):
+        def body_full_g2(carry, pr_):
+            params, rope = pr_
             kv, c = carry
             kv2, logits = fused._target_packed(
-                target.params, target.rope_table, kv, tokens, length, ni2,
-                bt_t, g2,
+                params, rope, kv, tokens, length, ni2, bt_t, g2,
             )
             return kv2, c + logits.mean()
 
-        r = timed(body_full_g2, (target.kv, jnp.float32(0)), None)
+        r = timed(body_full_g2, (target.kv, jnp.float32(0)), pr)
         results[f"full_g{g2}"] = r
         if "full" in results:
             slope = (results["full"] - r) / (b * (gamma - g2))
@@ -205,7 +211,8 @@ def main():
     def _fwd_with(attn_fn, kv_write):
         from nano_pearl_tpu.models.transformer import forward
 
-        def body(carry, _):
+        def body(carry, pr_):
+            params, rope = pr_
             kv, c = carry
             bsz = block
             j = jnp.arange(gamma, dtype=jnp.int32)[None, :]
@@ -215,11 +222,11 @@ def main():
             slots = blk * bsz + idx % bsz
             flat = lambda x: x.reshape(b * gamma)
             hidden, kv2 = forward(
-                tcfg, target.params, kv, flat(toks), flat(idx), flat(slots),
-                target.rope_table, attn_fn, (bt_t, flat(idx + 1)),
+                tcfg, params, kv, flat(toks), flat(idx), flat(slots),
+                rope, attn_fn, (bt_t, flat(idx + 1)),
                 kv_write_fn=kv_write,
             )
-            logits = compute_logits(tcfg, target.params, hidden)
+            logits = compute_logits(tcfg, params, hidden)
             return kv2, c + logits.mean()
 
         return body
@@ -227,12 +234,12 @@ def main():
     id_attn = lambda q, cache, li, *a: q
     if want("id_attn"):
         results["id_attn"] = timed(
-            _fwd_with(id_attn, target._kv_write), (target.kv, jnp.float32(0)), None
+            _fwd_with(id_attn, target._kv_write), (target.kv, jnp.float32(0)), pr
         )
     if want("id_nokv"):
         results["id_nokv"] = timed(
             _fwd_with(id_attn, lambda c, k, v, s, li: c),
-            (target.kv, jnp.float32(0)), None,
+            (target.kv, jnp.float32(0)), pr,
         )
 
     # ---- GEMM-stack variants on a chained hidden carry
@@ -242,7 +249,8 @@ def main():
         rng.standard_normal((n_rows, 1024)) * 0.02, dt
     )
     rope_rows = target.rope_table[jnp.tile(jnp.arange(gamma), b)]
-    d, n_q, n_kv = tcfg.head_dim, 16, 2
+    d = tcfg.head_dim
+    n_q, n_kv = tcfg.num_attention_heads, tcfg.num_key_value_heads
 
     def sep_layer(x, lp):
         h1 = rms_norm(x, lp["input_ln"], eps)
@@ -319,12 +327,12 @@ def main():
         results["sep_unroll"] = timed(body_sep_unroll, x0, per_layer)
 
     # ---- lm head alone
-    def body_lm(x, _):
-        logits = compute_logits(tcfg, target.params, x)
+    def body_lm(x, pr_):
+        logits = compute_logits(tcfg, pr_[0], x)
         return (x.astype(jnp.float32) + 1e-6 * logits[:, :1024]).astype(dt)
 
     if want("lm_head"):
-        results["lm_head+chain"] = timed(body_lm, x0, None)
+        results["lm_head+chain"] = timed(body_lm, x0, pr)
 
     print(f"\nrows={n_rows} layers={args.target_layers} "
           f"backend={jax.default_backend()}")
