@@ -353,7 +353,20 @@ class GroupRunner:
         decode steps feeding sampled tokens forward (reference:
         DraftModelRunner.pearl_step :492-507 — gamma Python iterations of
         CUDA-graph replays + in-group broadcasts; here zero host round-trips).
+
+        On a pp>1 mesh the loop runs as a microbatch-rotated pipeline
+        (parallel/pp.pp_gamma_rotate) — all stages busy every tick —
+        instead of gamma sequential wavefronts.
         """
+        if self.pp_size > 1:
+            from nano_pearl_tpu.parallel.pp import pp_gamma_rotate
+
+            toks, kv = pp_gamma_rotate(
+                self.gmesh.mesh, self.cfg, params, kv, tokens, positions,
+                block_tables, context_lens, rope, self._attn_decode, gamma,
+                self.block_size, kv_write_fn=self._kv_write,
+            )
+            return kv, toks
         bs = self.block_size
 
         def step(carry, _):

@@ -8,7 +8,19 @@ model memory scales with ``pp`` while ``tp`` keeps operating inside each
 stage (the ``tp`` axis stays GSPMD-auto inside the ``shard_map`` via
 ``axis_names={"pp"}`` — partial-manual lowering).
 
-Execution model (v1, sequential wavefront):
+Two execution models:
+
+- ``pp_forward`` — sequential wavefront for SINGLE forwards (prefill,
+  one-step decode, packed verify): memory scaling only, 1/pp bubble.
+- ``pp_gamma_rotate`` — microbatch ROTATION for the multi-step decode
+  loop (the draft's gamma-scan): the batch splits into pp microbatches
+  that chase each other around the stage ring, one step entering the
+  pipe per tick per microbatch; in steady state every stage computes
+  useful work every tick, so gamma steps cost ~(gamma + 1 - 1/pp) ticks
+  of 1/pp-sized work instead of gamma*pp — throughput approaches pp x
+  the wavefront for gamma >> pp (tests/test_pp.py measures it).
+
+Wavefront execution model (v1, sequential):
 
 - the activation pair ``(x, res)`` starts at stage 0 (every stage embeds
   the tokens — cheap and replicated), then ``pp`` ticks run: each tick
@@ -37,8 +49,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from nano_pearl_tpu.models.transformer import rms_norm, run_layers
+from nano_pearl_tpu.models.transformer import compute_logits, rms_norm, run_layers
 from nano_pearl_tpu.ops.kv_cache import write_kv
+from nano_pearl_tpu.ops.sampling import greedy
 from nano_pearl_tpu.parallel.mesh import PP_AXIS
 
 # far beyond any cache's flat row count, and safely below int32 overflow
@@ -96,12 +109,7 @@ def pp_forward(
     # stacked layer params + the cache shard their leading (layer) axis
     # over pp; everything else is pp-replicated. tp placement is NOT
     # described here — it stays GSPMD-auto (axis_names only names pp).
-    param_spec = {
-        "embed": P(),
-        "final_ln": P(),
-        "lm_head": _spec_leaves(params["lm_head"], P()),
-        "layers": _spec_leaves(params["layers"], P(PP_AXIS)),
-    }
+    param_spec = _pp_param_spec(params)
     cache_spec = _spec_leaves(kv_cache, P(PP_AXIS))
     return jax.shard_map(
         body,
@@ -116,3 +124,151 @@ def pp_forward(
         # varying-manual-axis checking is disabled
         axis_names={PP_AXIS},
     )(params, kv_cache, tokens, positions, slots, rope_table, attn_args)
+
+
+def _pp_param_spec(params):
+    return {
+        "embed": P(),
+        "final_ln": P(),
+        "lm_head": _spec_leaves(params["lm_head"], P()),
+        "layers": _spec_leaves(params["layers"], P(PP_AXIS)),
+    }
+
+
+def pp_gamma_rotate(
+    mesh,
+    cfg,
+    params: dict,
+    kv_cache,
+    tokens: jax.Array,  # [B] int32 current token per row
+    positions: jax.Array,  # [B]
+    block_tables: jax.Array,  # [B, M]
+    context_lens: jax.Array,  # [B]
+    rope_table: jax.Array,
+    attn_fn,
+    gamma: int,
+    block_size: int,
+    kv_write_fn=write_kv,
+) -> tuple[jax.Array, jax.Array]:
+    """The draft's gamma-step greedy decode loop as a microbatch-rotated
+    pipeline over the ``pp`` mesh axis (same contract as
+    GroupRunner._gamma_impl: returns (toks [gamma, B], kv_cache)).
+
+    Schedule: the batch splits into ``pp`` contiguous microbatches of
+    B/pp rows. At tick ``t`` stage ``s`` works on u = t - s: microbatch
+    ``u % pp`` at decode step ``u // pp`` (invalid u -> voided compute).
+    A microbatch's step r occupies stages 0..pp-1 at ticks
+    m + r*pp .. m + r*pp + pp - 1; the last stage samples the next token
+    and ``ppermute``s it to stage 0, which embeds it the very next tick
+    — so each microbatch re-enters with zero gap and all pp stages stay
+    busy in steady state. Total ticks = gamma*pp + pp - 1 of
+    (B/pp)-row work vs the wavefront's gamma*pp ticks of B-row work.
+
+    The KV cache stays layer-sharded over pp exactly as in pp_forward;
+    each stage writes its own layers' rows for the microbatch it is
+    holding, so after a full rotation every (layer, step) cell is
+    written exactly once. Startup/drain ticks void their writes via the
+    garbage-slot trick (mode="drop" scatter).
+    """
+    pp = mesh.shape[PP_AXIS]
+    b = tokens.shape[0]
+    bpad = (-b) % pp
+    if bpad:
+        # pad to a pp multiple exactly like the host-side bucket padding:
+        # garbage tables, ctx 1, token/pos 0
+        tokens = jnp.concatenate([tokens, jnp.zeros((bpad,), tokens.dtype)])
+        positions = jnp.concatenate([positions, jnp.zeros((bpad,), positions.dtype)])
+        context_lens = jnp.concatenate(
+            [context_lens, jnp.ones((bpad,), context_lens.dtype)]
+        )
+        nb1 = (kv_cache["q"] if isinstance(kv_cache, dict) else kv_cache).shape[2]
+        block_tables = jnp.concatenate(
+            [block_tables, jnp.full((bpad, block_tables.shape[1]), nb1 - 1,
+                                    block_tables.dtype)]
+        )
+    bt_width = block_tables.shape[1]
+    n = b + bpad
+    mbs = n // pp  # microbatch rows
+    eps = cfg.rms_norm_eps
+    ring = [(i, (i + 1) % pp) for i in range(pp)]
+    last_to_first = [(pp - 1, 0)]
+    ticks = gamma * pp + pp - 1
+
+    def body(params, cache, tokens0, positions0, bt, ctx0, rope_table):
+        stage = jax.lax.axis_index(PP_AXIS)
+        h = params["embed"].shape[-1]
+        vary = lambda a: jax.lax.pcast(a, (PP_AXIS,), to="varying")
+        x0 = vary(jnp.zeros((mbs, h), params["embed"].dtype))
+        tok0 = vary(jnp.zeros((mbs,), jnp.int32))
+        toks0 = vary(jnp.zeros((gamma, n), jnp.int32))
+
+        def tick(carry, t):
+            cache, x, res, tok_in, toks = carry
+            u = t - stage
+            m = u % pp  # jnp mod: in [0, pp) for negative u too
+            r = u // pp  # floor division
+            valid = (u >= 0) & (r < gamma)
+            rr = jnp.maximum(r, 0)
+            start = m * mbs
+            pos_m = jax.lax.dynamic_slice(positions0, (start,), (mbs,)) + rr
+            ctx_m = jax.lax.dynamic_slice(ctx0, (start,), (mbs,)) + rr
+            bt_m = jax.lax.dynamic_slice(bt, (start, 0), (mbs, bt_width))
+            toks0_m = jax.lax.dynamic_slice(tokens0, (start,), (mbs,))
+
+            # stage 0 embeds the microbatch's entering token (the initial
+            # token at step 0, else the token sampled by the last stage
+            # one tick ago); later stages continue the incoming (x, res)
+            tok_cur = jnp.where(r == 0, toks0_m, tok_in)
+            first = stage == 0
+            x_in = jnp.where(first, params["embed"][tok_cur].astype(x.dtype), x)
+            res_in = jnp.where(first, jnp.zeros_like(res), res)
+
+            slot_m = (
+                jnp.take_along_axis(bt_m, (pos_m // block_size)[:, None], axis=1)[:, 0]
+                * block_size
+                + pos_m % block_size
+            )
+            # void startup/drain ticks AND internally-padded rows (b was
+            # rounded up to a pp multiple) — neither may touch the cache
+            row_ok = start + jnp.arange(mbs, dtype=jnp.int32) < b
+            slot_m = jnp.where(valid & row_ok, slot_m, _VOID_SLOT)
+            x2, res2, cache = run_layers(
+                cfg, params["layers"], cache, x_in, res_in, rope_table[pos_m],
+                slot_m, attn_fn, (bt_m, ctx_m), kv_write_fn,
+            )
+
+            # the last stage finishes the step: final norm, lm head, greedy
+            final = (x2.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x2.dtype)
+            hidden = rms_norm(final, params["final_ln"], eps)
+            nxt = greedy(compute_logits(cfg, params, hidden))  # [mbs]
+            emit = valid & (stage == pp - 1)
+            cur = jax.lax.dynamic_slice(toks, (rr, start), (1, mbs))
+            toks = jax.lax.dynamic_update_slice(
+                toks, jnp.where(emit, nxt[None, :], cur), (rr, start)
+            )
+
+            x_nxt = jax.lax.ppermute(x2, PP_AXIS, ring)
+            res_nxt = jax.lax.ppermute(res2, PP_AXIS, ring)
+            tok_nxt = jax.lax.ppermute(
+                jnp.where(emit, nxt, 0), PP_AXIS, last_to_first
+            )
+            return (cache, x_nxt, res_nxt, tok_nxt, toks), None
+
+        (cache, _, _, _, toks), _ = jax.lax.scan(
+            tick,
+            (cache, x0, jnp.zeros_like(x0), tok0, toks0),
+            jnp.arange(ticks, dtype=jnp.int32),
+        )
+        # toks is only populated on the last stage
+        toks = jax.lax.psum(jnp.where(stage == pp - 1, toks, 0), PP_AXIS)
+        return toks, cache
+
+    cache_spec = _spec_leaves(kv_cache, P(PP_AXIS))
+    toks, kv_cache = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_pp_param_spec(params), cache_spec, P(), P(), P(), P(), P()),
+        out_specs=(P(), cache_spec),
+        axis_names={PP_AXIS},  # check_vma stays ON (see pp_forward)
+    )(params, kv_cache, tokens, positions, block_tables, context_lens, rope_table)
+    return toks[:, :b], kv_cache

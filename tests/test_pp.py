@@ -33,11 +33,11 @@ def _mesh(pp, tp):
     return Mesh(devs, ("pp", "tp"))
 
 
-def _setup(mesh, cfg):
+def _setup(mesh, cfg, nb=NB):
     params = init_params(cfg, jax.random.key(0))
     rope = make_rope_table(cfg)
     kv = make_kv_cache(
-        cfg.num_hidden_layers, NB, BS, cfg.num_key_value_heads, cfg.head_dim,
+        cfg.num_hidden_layers, nb, BS, cfg.num_key_value_heads, cfg.head_dim,
         dtype=jnp.float32,
     )
     kv = jax.random.normal(jax.random.key(1), kv.shape, kv.dtype)
@@ -106,6 +106,134 @@ def test_pp_forward_matches_plain_prefill():
     np.testing.assert_allclose(
         np.asarray(kv_ref), np.asarray(kv_out), rtol=2e-5, atol=2e-5
     )
+
+
+def _plain_gamma(cfg, params, kv, tokens, positions, bt, ctx, rope, gamma):
+    """Reference gamma loop: the exact _gamma_impl scan on one device."""
+    from functools import partial
+
+    from nano_pearl_tpu.models.transformer import compute_logits
+    from nano_pearl_tpu.ops.sampling import greedy
+
+    attn = partial(paged_attention_jnp, scale=cfg.head_dim**-0.5)
+
+    def step(carry, _):
+        kv, toks, pos, c = carry
+        slots = jnp.take_along_axis(bt, (pos // BS)[:, None], 1)[:, 0] * BS + pos % BS
+        hidden, kv = forward(cfg, params, kv, toks, pos, slots, rope, attn, (bt, c))
+        nxt = greedy(compute_logits(cfg, params, hidden))
+        return (kv, nxt, pos + 1, c + 1), nxt
+
+    (kv, _, _, _), toks = jax.lax.scan(
+        step, (kv, tokens, positions, ctx), None, length=gamma
+    )
+    return toks, kv
+
+
+@pytest.mark.parametrize("pp,tp,b", [(2, 2, 6), (4, 1, 5)])
+def test_pp_gamma_rotate_matches_plain(pp, tp, b):
+    """Microbatch rotation == the plain sequential gamma scan: tokens AND
+    final cache content (b=5 at pp=4 also exercises the internal pad)."""
+    from functools import partial
+
+    from nano_pearl_tpu.parallel.pp import pp_gamma_rotate
+
+    cfg = tiny_model_config(num_hidden_layers=4)
+    mesh = _mesh(pp, tp)
+    params, params_pp, rope, kv, kv_pp = _setup(mesh, cfg)
+    gamma = 5
+    tokens = (jnp.arange(b, dtype=jnp.int32) * 37 + 3) % cfg.vocab_size
+    positions = jnp.array([0, 4, 9, 2, 7, 11][:b], jnp.int32)
+    # non-overlapping single-block tables so rows never collide
+    bt = (jnp.arange(b, dtype=jnp.int32)[:, None] + jnp.zeros((1, 4), jnp.int32)) % NB
+    ctx = positions + 1
+    want_toks, want_kv = _plain_gamma(
+        cfg, params, kv, tokens, positions, bt, ctx, rope, gamma
+    )
+    attn = partial(paged_attention_jnp, scale=cfg.head_dim**-0.5)
+    got_toks, got_kv = pp_gamma_rotate(
+        mesh, cfg, params_pp, kv_pp, tokens, positions, bt, ctx, rope, attn,
+        gamma, BS,
+    )
+    np.testing.assert_array_equal(np.asarray(want_toks), np.asarray(got_toks))
+    np.testing.assert_allclose(
+        np.asarray(want_kv), np.asarray(got_kv), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pp_gamma_rotate_beats_wavefront():
+    """VERDICT item 8 'done' criterion: the rotated gamma loop is >1.5x
+    the v1 wavefront's decode throughput at pp=2 on the CPU mesh (the
+    theoretical ratio at gamma=8 is 4g/(2g+1) ~= 1.88)."""
+    import time
+    from functools import partial
+
+    from nano_pearl_tpu.models.transformer import compute_logits
+    from nano_pearl_tpu.ops.sampling import greedy
+    from nano_pearl_tpu.parallel.pp import pp_gamma_rotate
+
+    cfg = tiny_model_config(
+        num_hidden_layers=8, hidden_size=512, intermediate_size=1536,
+        num_attention_heads=8, num_key_value_heads=2,
+    )
+    # b large enough that per-tick compute dominates the per-tick fixed
+    # costs (dispatch, ppermute, lm head every tick); measured 1.64-1.66x
+    # at b>=128 on the 4-core CI host (theory 4g/(2g+1) ~= 1.92)
+    pp, b, gamma = 2, 256, 12
+    mesh = _mesh(pp, 1)
+    # one exclusive block per row (gamma=8 tokens fit in 4x4-token blocks... use 4 blocks per row)
+    nb = 4 * b
+    params, params_pp, rope, kv, kv_pp = _setup(mesh, cfg, nb=nb)
+    tokens = (jnp.arange(b, dtype=jnp.int32) * 17 + 1) % cfg.vocab_size
+    positions = jnp.zeros((b,), jnp.int32)
+    bt = jnp.arange(b, dtype=jnp.int32)[:, None] * 4 + jnp.arange(4, dtype=jnp.int32)[None, :]
+    ctx = positions + 1
+    attn = partial(paged_attention_jnp, scale=cfg.head_dim**-0.5)
+
+    def wavefront(params, kv, tokens):
+        def step(carry, _):
+            kv, toks, pos, c = carry
+            slots = (
+                jnp.take_along_axis(bt, (pos // BS)[:, None], 1)[:, 0] * BS + pos % BS
+            )
+            hidden, kv = pp_forward(
+                mesh, cfg, params, kv, toks, pos, slots, rope, attn, (bt, c)
+            )
+            nxt = greedy(compute_logits(cfg, params, hidden))
+            return (kv, nxt, pos + 1, c + 1), nxt
+
+        (kv, _, _, _), toks = jax.lax.scan(
+            step, (kv, tokens, positions, ctx), None, length=gamma
+        )
+        return toks, kv
+
+    def rotate(params, kv, tokens):
+        return pp_gamma_rotate(
+            mesh, cfg, params, kv, tokens, positions, bt, ctx, rope, attn,
+            gamma, BS,
+        )
+
+    jw = jax.jit(wavefront)
+    jr = jax.jit(rotate)
+    # warm both (rotation parity vs the plain scan is pinned in
+    # test_pp_gamma_rotate_matches_plain; the wavefront's psum-broadcast
+    # reorders the f32 reduction, which can flip greedy near-ties on
+    # random weights, so exact equality against it is not meaningful)
+    tw, _ = jw(params_pp, kv_pp, tokens)
+    tr, _ = jr(params_pp, kv_pp, tokens)
+    assert (np.asarray(tw) == np.asarray(tr)).mean() > 0.5
+
+    def best_of(f, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(params_pp, kv_pp, tokens))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_wave = best_of(jw)
+    t_rot = best_of(jr)
+    assert t_wave / t_rot > 1.5, f"rotation speedup {t_wave / t_rot:.2f}x <= 1.5x"
 
 
 def test_pp_engine_matches_plain_engine():
