@@ -117,10 +117,9 @@ class FusedPearl:
             tr.garbage_block * bs + (j % bs),
         )
         flat = lambda x: x.reshape(b * gamma)
-        hidden, tkv = tr._forward(
-            tcfg, tparams, tkv, flat(toks), flat(positions), flat(slots),
-            trope, partial(tr._attn_grouped, rows_per_group=gamma),
-            (bt, flat(ctx)), kv_write_fn=tr._kv_write,
+        hidden, tkv = tr.packed_verify_forward(
+            tparams, trope, tkv, flat(toks), flat(positions), flat(slots),
+            bt, flat(ctx), gamma,
         )
         logits = compute_logits(tcfg, tparams, hidden).reshape(b, gamma, -1)
         return tkv, logits

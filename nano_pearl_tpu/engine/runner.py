@@ -193,6 +193,18 @@ class GroupRunner:
             self._attn_grouped = partial(
                 tp_paged_attention_grouped, mesh, scale=self.scale
             )
+            from nano_pearl_tpu.ops.kv_cache import write_fresh
+            from nano_pearl_tpu.parallel.tp_attn import (
+                tp_paged_attention_grouped_fresh,
+            )
+
+            self._grouped_fresh = partial(
+                tp_paged_attention_grouped_fresh, mesh, scale=self.scale
+            )
+            # jnp scatter writeback (GSPMD partitions it over the cache's
+            # tp-sharded trailing dim); see ops/kv_cache.write_fresh for
+            # why the Pallas DMA twin is parked
+            self._write_fresh = write_fresh
             self._kv_write = write_kv
         else:
             self._attn_decode = partial(
@@ -202,6 +214,14 @@ class GroupRunner:
             self._attn_grouped = partial(
                 paged_attention_grouped, scale=self.scale, use_pallas=self.use_pallas
             )
+            from nano_pearl_tpu.ops.attention import paged_attention_grouped_fresh
+            from nano_pearl_tpu.ops.kv_cache import write_fresh
+
+            self._grouped_fresh = partial(
+                paged_attention_grouped_fresh, scale=self.scale,
+                use_pallas=self.use_pallas,
+            )
+            self._write_fresh = partial(write_fresh, use_pallas=self.use_pallas)
             self._kv_write = write_kv
         # fresh-KV prefill self-attention (no cache READ — valid whenever
         # no admitted sequence has prefix-cache hits; cache-free, so it
@@ -251,6 +271,31 @@ class GroupRunner:
             color="green",
         )
         self.garbage_block = self.num_blocks  # extra block appended by make_kv_cache
+
+        # Deferred-write packed verify (ops/attention.paged_attention_
+        # grouped_fresh + ops/kv_cache.write_fresh): fresh K/V collected
+        # in-operand during the layer scan, cache written back ONCE after
+        # it. Designed to remove the per-layer XLA row scatter (~80 ns/row
+        # on v5e, ~2.9 ms of a 9.6 ms bench verify forward;
+        # tools/probe_kv_write.py) — but the strided-DMA writeback kernel
+        # that realizes the win is blocked by toolchain crashes (see
+        # ops/kv_cache.write_fresh), and with the jnp-scatter writeback
+        # the deferred forward measured 10.4 vs 9.6 ms classic on chip.
+        # So: ON for jnp backends (keeps the path suite-tested, same
+        # speed), OFF under Pallas unless NANO_PEARL_DEFERRED_VERIFY=1.
+        import os as _os
+
+        hkv_local = mcfg.num_key_value_heads // gmesh.tp_size
+        _deferred_ok_pallas = (
+            (hkv_local * mcfg.head_dim) % 128 == 0
+            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY") == "1"
+        )
+        self._deferred_verify = (
+            self.pp_size == 1
+            and self.sp_size == 1
+            and mcfg.kv_quant is None
+            and (not self.use_pallas or _deferred_ok_pallas)
+        )
 
         # params and rope are explicit jit arguments: closure-captured
         # jax Arrays would be inlined into the HLO as constants
@@ -389,6 +434,58 @@ class GroupRunner:
         )
         return kv, toks  # toks: [gamma, B]
 
+    def packed_verify_forward(
+        self, params, rope, kv, tokens, positions, slots, block_tables,
+        context_lens, gamma,
+    ):
+        """The target's packed verify forward on FLAT [B*gamma] row
+        arrays; returns (kv, hidden). Two regimes:
+
+        - deferred-write (``self._deferred_verify``): fresh K/V collected
+          into a dense [L, 2, N, Hkv*D] buffer during the layer scan
+          (contiguous per-layer dynamic_update_slice), attention reads
+          cache-prefix + in-operand fresh rows
+          (ops/attention.paged_attention_grouped_fresh), and the cache is
+          written back ONCE after the scan (ops/kv_cache.write_fresh /
+          the Pallas strided-DMA kernel) — removes the ~80 ns/row
+          per-layer XLA scatter (~30% of the bench verify forward).
+        - classic write-then-read otherwise (sp/pp/quantized caches).
+        """
+        if not self._deferred_verify:
+            return self._forward(
+                self.cfg, params, kv, tokens, positions, slots, rope,
+                partial(self._attn_grouped, rows_per_group=gamma),
+                (block_tables, context_lens),
+                kv_write_fn=self._kv_write,
+            )
+        cfg = self.cfg
+        n = tokens.shape[0]
+        b = n // gamma
+        hd = cfg.num_key_value_heads * cfg.head_dim
+        # pre-round context per group: row 0 is always a real row whose
+        # ctx includes exactly itself of the fresh window
+        ctx0 = context_lens.reshape(b, gamma)[:, 0] - 1
+        fresh0 = jnp.zeros((cfg.num_hidden_layers, 2, n, hd), kv.dtype)
+
+        def collect(buf, k, v, _slots, li):
+            pair = jnp.stack([k.reshape(n, -1), v.reshape(n, -1)])[None]
+            return jax.lax.dynamic_update_slice(
+                buf, pair.astype(buf.dtype), (li, 0, 0, 0)
+            )
+
+        def attn(q, k, v, li, cache, bt, ctx, c0):
+            return self._grouped_fresh(
+                q, cache, li, bt, ctx, c0, k, v, rows_per_group=gamma
+            )
+
+        attn.wants_fresh_kv = True
+        hidden, fresh = self._forward(
+            cfg, params, fresh0, tokens, positions, slots, rope,
+            attn, (kv, block_tables, context_lens, ctx0), kv_write_fn=collect,
+        )
+        kv = self._write_fresh(kv, fresh, slots, gamma)
+        return hidden, kv
+
     def _verify_fwd_impl(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens):
         """Target packed verify forward: B*gamma rows with per-token
         context lens (reference: TargetModelRunner.prepare_pearl_decode +
@@ -396,11 +493,9 @@ class GroupRunner:
         on-device to per-token granularity."""
         b, g = tokens.shape
         flat = lambda x: x.reshape(b * g)
-        hidden, kv = self._forward(
-            self.cfg, params, kv, flat(tokens), flat(positions), flat(slots),
-            rope, partial(self._attn_grouped, rows_per_group=g),
-            (block_tables, flat(context_lens)),
-            kv_write_fn=self._kv_write,
+        hidden, kv = self.packed_verify_forward(
+            params, rope, kv, flat(tokens), flat(positions), flat(slots),
+            block_tables, flat(context_lens), g,
         )
         logits = compute_logits(self.cfg, params, hidden)
         return kv, logits.reshape(b, g, -1)

@@ -366,6 +366,88 @@ def paged_attention_grouped(
     return paged_attention_jnp(q, cache, layer_idx, bt_rows, context_lens, scale)
 
 
+def paged_attention_grouped_fresh_jnp(
+    q: jax.Array,  # [B*R, Hq, D]
+    cache,  # FULL cache (READ-ONLY pre-round context — fresh rows NOT written)
+    layer_idx,
+    group_tables: jax.Array,  # [B, M]
+    context_lens: jax.Array,  # [B*R] per-row ctx incl. visible fresh rows
+    ctx0: jax.Array,  # [B] pre-round context per group (fresh rows excluded)
+    fresh_k: jax.Array,  # [B*R, Hkv, D] this layer's post-rope fresh keys
+    fresh_v: jax.Array,  # [B*R, Hkv, D]
+    scale: float,
+) -> jax.Array:
+    """Packed-verify attention with DEFERRED KV writes: the cache holds
+    only the pre-round context (positions < ctx0); this round's packed
+    rows attend to it plus the fresh K/V passed in-operand. Equivalent to
+    writing the fresh rows then running paged_attention_grouped, without
+    the per-layer scatter (measured ~40 us per 448-row scatter on v5e —
+    ~2.9 ms of a 9.6 ms verify forward; see tools/probe_kv_write.py).
+    The engine writes the whole round's fresh KV back in ONE pass after
+    the layer scan (ops/kv_cache.write_fresh / the Pallas writeback)."""
+    n, hq, d = q.shape
+    b, m = group_tables.shape
+    r = n // b
+    bs, hkv, _d = cache_kv_dims(cache, d)
+    s = m * bs
+    g = hq // hkv
+
+    k, v = _gather_kv(cache, layer_idx, group_tables, d)  # [B, S, Hkv, D]
+    fk = fresh_k.reshape(b, r, hkv, d).astype(k.dtype)
+    fv = fresh_v.reshape(b, r, hkv, d).astype(v.dtype)
+    k = jnp.concatenate([k, fk], axis=1)  # [B, S+R, Hkv, D]
+    v = jnp.concatenate([v, fv], axis=1)
+
+    qb = q.reshape(b, r, hkv, g, d)
+    scores = (
+        jnp.einsum("brkgd,bskd->brkgs", qb, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+
+    ctx_rows = context_lens.reshape(b, r)
+    # cache slots: absolute position p visible iff p < min(ctx_row, ctx0)
+    # (the cache beyond ctx0 is stale — fresh data is in-operand instead);
+    # fresh slot t sits at absolute position ctx0 + t
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (b, r, s), 2)
+    lim_c = jnp.minimum(ctx_rows, ctx0[:, None])[:, :, None]
+    vis_c = pos_c < lim_c
+    pos_f = ctx0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (b, r, r), 2)
+    vis_f = pos_f < ctx_rows[:, :, None]
+    visible = jnp.concatenate([vis_c, vis_f], axis=2)  # [B, R, S+R]
+    scores = jnp.where(visible[:, :, None, None, :], scores, NEG_INF)
+
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - mx)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(denom, 1e-30)
+    out = jnp.einsum("brkgs,bskd->brkgd", p, v, preferred_element_type=jnp.float32)
+    return out.reshape(n, hq, d).astype(q.dtype)
+
+
+def paged_attention_grouped_fresh(
+    q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v,
+    scale, rows_per_group, use_pallas=None,
+):
+    """Dispatch the deferred-write packed-verify attention."""
+    if use_pallas is None:
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        use_pallas = attention_enabled()
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import (
+            paged_attention_pallas_grouped_fresh,
+        )
+
+        return paged_attention_pallas_grouped_fresh(
+            q, cache, layer_idx, group_tables, context_lens, ctx0,
+            fresh_k, fresh_v, scale, rows_per_group,
+        )
+    return paged_attention_grouped_fresh_jnp(
+        q, cache, layer_idx, group_tables, context_lens, ctx0,
+        fresh_k, fresh_v, scale,
+    )
+
+
 def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None):
     """Dispatch to the Pallas kernel when enabled, else the jnp path."""
     if use_pallas is None:

@@ -90,6 +90,42 @@ def dequant_rows(q_rows: jax.Array, s_rows: jax.Array, head_dim: int) -> jax.Arr
     return unfolded.astype(jnp.float32) * s_rows[..., None]
 
 
+def write_fresh_jnp(cache, fresh: jax.Array, slots: jax.Array) -> jax.Array:
+    """Deferred all-layer KV writeback: one scatter of ``fresh``
+    [L, 2, N, Hkv*D] (collected during the layer scan) at flat ``slots``
+    [N]. Semantically identical to L x 2 per-layer write_kv scatters;
+    non-quantized caches only (the deferred verify path is gated to
+    bf16/f32). The Pallas strided-DMA twin
+    (ops/pallas/kv_writeback.write_fresh_pallas) replaces the scatter on
+    TPU — XLA's dynamic-update scatter costs ~80 ns/row on v5e, ~2.9 ms
+    per packed-verify forward at bench shapes (tools/probe_kv_write.py)."""
+    l, _, nb1, bs, hd = cache.shape
+    rows = cache.reshape(-1, hd)
+    li = jnp.arange(l, dtype=jnp.int32)[:, None]
+    k_idx = ((li * 2) * nb1 * bs + slots[None, :]).reshape(-1)
+    v_idx = ((li * 2 + 1) * nb1 * bs + slots[None, :]).reshape(-1)
+    idx = jnp.concatenate([k_idx, v_idx])
+    vals = jnp.concatenate(
+        [fresh[:, 0].reshape(-1, hd), fresh[:, 1].reshape(-1, hd)]
+    ).astype(rows.dtype)
+    return rows.at[idx].set(vals, mode="drop").reshape(cache.shape)
+
+
+def write_fresh(cache, fresh, slots, rows_per_group: int, use_pallas=None):
+    """Dispatch the deferred writeback (see write_fresh_jnp).
+
+    The Pallas strided-DMA twin is numerically validated (interpret mode,
+    tests/test_deferred_verify.py) but DISABLED on hardware: this
+    toolchain's Mosaic crashes (remote-compile HTTP 500, no diagnostic)
+    on every construct the kernel needs for arbitrary-row-offset DMA —
+    dynamic ds on a tiled (sub-lane) dim, size-1 tiled dims, and
+    pltpu.roll with a dynamic shift were each bisected to the crash on
+    v5e (2026-08-19). Until the toolchain accepts one of them, the jnp
+    scatter (~80 ns/row) is the writeback everywhere."""
+    del use_pallas
+    return write_fresh_jnp(cache, fresh, slots)
+
+
 def global_block_offsets(cache, layer_idx):
     """(k_off, v_off): block-index offsets of layer ``layer_idx`` inside
     the cache flattened to [(L*2*(NB+1)), BS, Hkv*D].

@@ -821,6 +821,133 @@ def paged_attention_pallas_grouped(
     )(bt_k, bt_v, context_lens, *inputs)
 
 
+def _grouped_kernel_db_fresh(
+    bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref,  # scalar prefetch
+    q_ref,  # [R, Hq, D] VMEM
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA) — READ-ONLY here
+    fk_ref, fv_ref,  # [1, R, Hkv*D] VMEM: this group's fresh post-rope K/V
+    # (3D with a leading 1: Mosaic requires the block's last two dims
+    # divisible by (8, 128) or equal to the array dims — [B, R, HD]
+    # blocks (1, R, HD) satisfy the latter for any R)
+    o_ref,
+    kbuf, vbuf, m_scr, l_scr, acc_scr, k_sems, v_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    """Deferred-write packed verify: like _grouped_kernel_db but the
+    round's fresh rows arrive IN-OPERAND instead of pre-scattered into
+    the cache. Cache slots are masked to pos < min(ctx_row, ctx0) (the
+    cache beyond ctx0 is stale) and a final flash update folds in the
+    fresh rows at absolute positions ctx0 + t. Removes the per-layer
+    XLA scatter from the verify forward (~40 us per 448 rows on v5e)."""
+    bi = pl.program_id(0)
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    c0 = ctx0_ref[bi]
+    ctx_cache = [jnp.minimum(c, c0) for c in ctx_rows]
+    ctx_max = ctx_cache[0]
+    for c in ctx_cache[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+    ppc = _pages_per_chunk(block_size)
+    # ctx0 == 0 (first verify of a 1-token prompt): run one fully-masked
+    # chunk rather than leaving started DMAs unwaited
+    nb_pages = jnp.maximum(pl.cdiv(ctx_max, block_size), 1)
+    nb_chunks = pl.cdiv(nb_pages, ppc)
+    last_page = nb_pages - 1
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def dmas(slot, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, bi, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, last_page, ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, bi, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, last_page, ppc,
+        )
+
+    def start(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        _gr_update(
+            q_ref[...], kbuf[slot], vbuf[slot], ctx_cache, ci * cbs,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    _db_loop(nb_chunks, start, wait, compute)
+    # fresh rows: one more flash update at block_start = ctx0 with the
+    # per-row ctx staircase giving exactly the packed-verify visibility
+    _gr_update(
+        q_ref[...], fk_ref[0], fv_ref[0], ctx_rows, c0,
+        m_scr, l_scr, acc_scr,
+        scale=scale, block_size=rows, num_kv_heads=num_kv_heads,
+    )
+    _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+def paged_attention_pallas_grouped_fresh(
+    q: jax.Array,  # [B*R, Hq, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] — bf16/f32 only
+    layer_idx,
+    group_tables: jax.Array,  # [B, M]
+    context_lens: jax.Array,  # [B*R]
+    ctx0: jax.Array,  # [B] pre-round context per group
+    fresh_k: jax.Array,  # [B*R, Hkv, D] post-rope fresh keys (this layer)
+    fresh_v: jax.Array,  # [B*R, Hkv, D]
+    scale: float,
+    rows_per_group: int,
+    interpret: bool = False,
+) -> jax.Array:
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, group_tables, d
+    )
+    assert scales is None and (hkv * d) % 128 == 0, (
+        "deferred-write verify requires a bf16/f32 cache with a "
+        "lane-aligned folded head axis (the caller gates on this)"
+    )
+    g = hq // hkv
+    fk = fresh_k.reshape(b, r, hkv * d).astype(blocks.dtype)
+    fv = fresh_v.reshape(b, r, hkv * d).astype(blocks.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_fresh, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, ctx0, q, blocks, fk, fv)
+
+
 def paged_attention_pallas_partials(
     q: jax.Array,  # [N, Hq, D]
     cache,  # LOCAL cache shard [L, 2, NB_loc, BS, Hkv*D] or int8 pytree

@@ -80,6 +80,34 @@ def tp_paged_attention_grouped(
     )(q, cache, layer_idx, group_tables, context_lens)
 
 
+def tp_paged_attention_grouped_fresh(
+    mesh, q, cache, layer_idx, group_tables, context_lens, ctx0,
+    fresh_k, fresh_v, scale, rows_per_group, interpret: bool = False,
+):
+    """Deferred-write packed verify under tp: fresh K/V rows are
+    head-sharded exactly like the cache's folded head axis."""
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        paged_attention_pallas_grouped_fresh,
+    )
+
+    def body(q, cache, li, bt, cl, c0, fk, fv):
+        return paged_attention_pallas_grouped_fresh(
+            q, cache, li, bt, cl, c0, fk, fv, scale, rows_per_group,
+            interpret=interpret,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P(), P(),
+            P(None, TP_AXIS, None), P(None, TP_AXIS, None),
+        ),
+        out_specs=P(None, TP_AXIS, None),
+        check_vma=False,
+    )(q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v)
+
+
 def tp_prefill_self_attention(
     mesh, q, k, v, layer_idx, block_tables, q_positions, scale,
     interpret: bool = False,

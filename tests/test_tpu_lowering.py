@@ -160,3 +160,46 @@ def test_lower_db_kernels_bench_shapes(bs, hkv, d):
                 ),
                 *args,
             )
+
+
+@pytest.mark.parametrize("bs,hkv,d", [(16, 2, 128), (256, 2, 128), (256, 8, 128)])
+@pytest.mark.parametrize("b,r", [(2, 7), (3, 15)])
+def test_lower_grouped_fresh(bs, hkv, d, b, r):
+    """Deferred-write verify kernel (fresh K/V in-operand)."""
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        paged_attention_pallas_grouped_fresh,
+    )
+
+    hq = hkv * 4
+    cache = make_kv_cache(2, 6, bs, hkv, d, jnp.bfloat16)
+    args = (
+        jnp.zeros((b * r, hq, d), jnp.bfloat16),
+        cache,
+        jnp.int32(0),
+        jnp.zeros((b, 4), jnp.int32),
+        jnp.ones((b * r,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b * r, hkv, d), jnp.bfloat16),
+        jnp.zeros((b * r, hkv, d), jnp.bfloat16),
+    )
+    _lower_tpu(
+        lambda q, c, li, bt, cl, c0, fk, fv: paged_attention_pallas_grouped_fresh(
+            q, c, li, bt, cl, c0, fk, fv, SCALE, rows_per_group=r
+        ),
+        *args,
+    )
+
+
+@pytest.mark.parametrize("bs,hkv,d", [(16, 2, 128), (256, 2, 128)])
+@pytest.mark.parametrize("b,r", [(2, 7), (3, 15)])
+def test_lower_kv_writeback(bs, hkv, d, b, r):
+    """Strided-DMA deferred writeback kernel."""
+    from nano_pearl_tpu.ops.pallas.kv_writeback import write_fresh_pallas
+
+    cache = make_kv_cache(2, 6, bs, hkv, d, jnp.bfloat16)
+    fresh = jnp.zeros((2, 2, b * r, hkv * d), jnp.bfloat16)
+    slots = jnp.zeros((b * r,), jnp.int32)
+    _lower_tpu(
+        lambda c, f, s: write_fresh_pallas(c, f, s, rows_per_group=r),
+        cache, fresh, slots,
+    )
