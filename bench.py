@@ -123,9 +123,11 @@ def parse_args():
         "in the layer-share scenario: the target keeps the clean weights, "
         "so acceptance drops below the MAT==gamma ceiling and the "
         "rejection/rollback/pre-verify path is exercised at rate. "
-        "Calibration on v5e (36L/3L pair): 0.02 -> MAT~20, 0.05 -> MAT~9, "
-        "0.12 -> MAT~4 (the reference's AIME/HumanEval/CNNDM regimes, "
-        "reference: docs/bench_summary.md:3-34)",
+        "Measured calibration on v5e (36L/3L pair, gamma=14, greedy): "
+        "0.002 -> MAT 8.7, 0.005 -> MAT 6.7, 0.01 -> MAT 4.9, "
+        "0.02 -> MAT 3.1 (random-init logits are near-tied, so tiny "
+        "perturbations flip argmax; the reference's AIME/HumanEval/CNNDM "
+        "regimes are MAT 24/9/3.8, docs/bench_summary.md:3-34)",
     )
     return p.parse_args()
 
