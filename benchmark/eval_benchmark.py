@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--num-pearl-steps", type=int, default=100)
     p.add_argument("--gamma", type=int, default=-1)
     p.add_argument("--run-ar-benchmark", "-ar", action="store_true")
+    p.add_argument(
+        "--no-warmup", dest="warmup", action="store_false",
+        help="skip the per-batch compile pass (timings then include "
+        "compiles for any cold program)",
+    )
     p.add_argument("--token-ids", action="store_true", help="turns are id lists")
     p.add_argument("--max-model-len", type=int, default=4096)
     p.add_argument(
@@ -133,9 +138,27 @@ def main():
         sp = lambda: SamplingParams(
             temperature=args.temperature, max_tokens=args.max_tokens
         )
-        for prm in batch:
-            engine.add_request(prm, sp())
-        out, n_tok, acc, t = engine.bench_generate(num_pearl_steps=args.num_pearl_steps)
+        ar_fn = engine.AR_generate_token_ids if args.token_ids else engine.AR_generate
+
+        def run_pearl():
+            for prm in batch:
+                engine.add_request(prm, sp())
+            return engine.bench_generate(num_pearl_steps=args.num_pearl_steps)
+
+        def run_ar():
+            for prm in batch:
+                engine.add_request(prm, sp())
+            return ar_fn()
+
+        if args.warmup:
+            # compile pass: each batch's prompt-length bucket compiles new
+            # prefill (and possibly fused) programs — measure the SECOND
+            # identical run so tok/s reflects steady state, not the
+            # compiler (mirrors bench.py's warmup protocol)
+            run_pearl()
+            if args.run_ar_benchmark:
+                run_ar()
+        out, n_tok, acc, t = run_pearl()
         mat = [sum(a) / max(1, len(a)) for a in acc]
         pearl_tps = sum(n_tok) / t
         row = {
@@ -144,11 +167,7 @@ def main():
             "mat": round(float(np.mean(mat)), 2),
         }
         if args.run_ar_benchmark:
-            for prm in batch:
-                engine.add_request(prm, sp())
-            # token-id datasets have no tokenizer to decode with
-            ar_fn = engine.AR_generate_token_ids if args.token_ids else engine.AR_generate
-            _, ar_tok, _, ar_t = ar_fn()
+            _, ar_tok, _, ar_t = run_ar()
             ar_tps = sum(ar_tok) / ar_t
             row["ar_tok_s"] = round(ar_tps, 2)
             row["speedup"] = round(pearl_tps / ar_tps, 2)

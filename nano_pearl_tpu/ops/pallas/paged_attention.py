@@ -281,28 +281,60 @@ def _pages_per_chunk(block_size: int) -> int:
     return max(1, CHUNK_TOKENS // block_size)
 
 
-def _db_loop(nb_chunks, start_fn, wait_fn, compute_fn):
-    """Double-buffered chunk loop: start DMAs for chunk i+1, wait for
-    chunk i, compute chunk i. Each chunk covers several pages so the
-    per-DMA issue latency amortizes (a single-page loop is
-    latency-bound: compute per page is ~2 us while the DMA round trip is
-    tens of us; measured 6x SLOWER than the BlockSpec grid at bench
-    shapes before chunking)."""
-    start_fn(0, 0)
+def _db_xstep_loop(bi, n_groups, cum_ref, start_fn, wait_fn, compute_fn):
+    """Double-buffered chunk loop pipelined ACROSS grid steps.
+
+    The chunk stream is global: ``cum_ref`` holds cumulative chunk
+    counts per group ([n_groups + 1], prefetched), so the buffer slot of
+    (group, chunk) is ``(cum[g] + c) % 2`` — consistent across grid
+    steps because VMEM scratch persists between them. While computing
+    this group's chunk ``ci`` the kernel starts the NEXT stream item's
+    DMAs — chunk ``ci+1`` of this group, or chunk 0 of group ``bi+1``.
+    Without the cross-step handoff a short context (one chunk, the bench
+    regime: ctx ~1000 = one 1024-token chunk) leaves the double buffer
+    with nothing to overlap and every grid step exposes the full DMA
+    round trip.
+
+    ``start_fn(slot, g, ci)`` must be reconstructible for the wait:
+    ``wait_fn(slot, ci)`` waits the descriptors of (this group, ci)."""
+    base = cum_ref[bi]
+    nbc = cum_ref[bi + 1] - base
+
+    @pl.when(bi == 0)
+    def _cold_start():
+        start_fn(0, 0, 0)
 
     def body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
+        slot = jax.lax.rem(base + ci, 2)
+        nxt = jax.lax.rem(base + ci + 1, 2)
 
-        @pl.when(ci + 1 < nb_chunks)
+        @pl.when(ci + 1 < nbc)
         def _():
-            start_fn(nxt, ci + 1)
+            start_fn(nxt, bi, ci + 1)
+
+        @pl.when((ci + 1 == nbc) & (bi + 1 < n_groups))
+        def _():
+            start_fn(nxt, bi + 1, 0)
 
         wait_fn(slot, ci)
         compute_fn(slot, ci)
         return 0
 
-    jax.lax.fori_loop(0, nb_chunks, body, 0)
+    jax.lax.fori_loop(0, nbc, body, 0)
+
+
+def _db_chunk_meta(ctx_max_per_group, block_size):
+    """(cum [G+1], last_page [G]) prefetch arrays for _db_xstep_loop:
+    exact per-group chunk counts (no uniform-max padding) computed on
+    the host side of the pallas_call."""
+    ppc = _pages_per_chunk(block_size)
+    ctx = jnp.maximum(ctx_max_per_group, 1)
+    pages = (ctx + block_size - 1) // block_size
+    nbc = (pages + ppc - 1) // ppc
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nbc).astype(jnp.int32)]
+    )
+    return cum, (pages - 1).astype(jnp.int32)
 
 
 def _chunk_dmas(blocks_ref, bt_ref, row, ci, buf, sems, bs, last_page, ppc):
@@ -323,7 +355,7 @@ def _chunk_dmas(blocks_ref, bt_ref, row, ci, buf, sems, bs, last_page, ppc):
 
 
 def _kernel_db(
-    bt_k_ref, bt_v_ref, context_lens_ref,  # scalar prefetch (SMEM)
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,  # scalar prefetch
     q_ref,  # [1, Hq, D] VMEM
     blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA)
     o_ref,  # [1, Hq, D] VMEM
@@ -333,28 +365,26 @@ def _kernel_db(
     *, scale: float, block_size: int, num_kv_heads: int,
 ):
     ni = pl.program_id(0)
+    n = pl.num_programs(0)
     ppc = _pages_per_chunk(block_size)
     ctx = context_lens_ref[ni]
-    nb_pages = pl.cdiv(ctx, block_size)
-    nb_chunks = pl.cdiv(nb_pages, ppc)
-    last_page = nb_pages - 1
     _init_scratch(m_scr, l_scr, acc_scr)
 
-    def dmas(slot, ci):
+    def dmas(slot, g, ci):
         return _chunk_dmas(
-            blocks_ref, bt_k_ref, ni, ci, kbuf.at[slot], k_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         ) + _chunk_dmas(
-            blocks_ref, bt_v_ref, ni, ci, vbuf.at[slot], v_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         )
 
-    def start(slot, ci):
-        for dma in dmas(slot, ci):
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
             dma.start()
 
     def wait(slot, ci):
-        for dma in dmas(slot, ci):
+        for dma in dmas(slot, ni, ci):
             dma.wait()
 
     cbs = ppc * block_size
@@ -366,13 +396,13 @@ def _kernel_db(
             scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
         )
 
-    _db_loop(nb_chunks, start, wait, compute)
+    _db_xstep_loop(ni, n, cum_ref, start, wait, compute)
     denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
     o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
 def _grouped_kernel_db(
-    bt_k_ref, bt_v_ref, context_lens_ref,
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,
     q_ref,  # [R, Hq, D] VMEM
     blocks_ref,  # HBM
     o_ref,  # [R, Hq, D]
@@ -380,31 +410,26 @@ def _grouped_kernel_db(
     *, scale: float, block_size: int, num_kv_heads: int, rows: int,
 ):
     bi = pl.program_id(0)
+    nb = pl.num_programs(0)
     ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
-    ctx_max = ctx_rows[0]
-    for c in ctx_rows[1:]:
-        ctx_max = jnp.maximum(ctx_max, c)
     ppc = _pages_per_chunk(block_size)
-    nb_pages = pl.cdiv(ctx_max, block_size)
-    nb_chunks = pl.cdiv(nb_pages, ppc)
-    last_page = nb_pages - 1
     _init_scratch(m_scr, l_scr, acc_scr)
 
-    def dmas(slot, ci):
+    def dmas(slot, g, ci):
         return _chunk_dmas(
-            blocks_ref, bt_k_ref, bi, ci, kbuf.at[slot], k_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         ) + _chunk_dmas(
-            blocks_ref, bt_v_ref, bi, ci, vbuf.at[slot], v_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         )
 
-    def start(slot, ci):
-        for dma in dmas(slot, ci):
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
             dma.start()
 
     def wait(slot, ci):
-        for dma in dmas(slot, ci):
+        for dma in dmas(slot, bi, ci):
             dma.wait()
 
     cbs = ppc * block_size
@@ -416,7 +441,7 @@ def _grouped_kernel_db(
             scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
         )
 
-    _db_loop(nb_chunks, start, wait, compute)
+    _db_xstep_loop(bi, nb, cum_ref, start, wait, compute)
     _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
@@ -733,18 +758,22 @@ def paged_attention_pallas_grouped(
 
     if scales is None and (hkv * d) % 128 == 0:
         # double-buffered per-group kernel: grid (B,), manual DMA over
-        # the group's ACTUAL context blocks. Manual HBM DMA slices need
-        # the minor dim 128-aligned, which the folded Hkv*D storage axis
-        # satisfies for every realistic head count; non-aligned shapes
-        # take the BlockSpec fallback below.
+        # the group's ACTUAL context blocks, pipelined ACROSS grid steps
+        # (_db_xstep_loop). Manual HBM DMA slices need the minor dim
+        # 128-aligned, which the folded Hkv*D storage axis satisfies for
+        # every realistic head count; non-aligned shapes take the
+        # BlockSpec fallback below.
+        cum, lp = _db_chunk_meta(
+            jnp.max(context_lens.reshape(b, r), axis=1), bs
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(b,),
             in_specs=[
-                pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
+                pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl: (bi, 0, 0)),
+            out_specs=pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
                 pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
@@ -761,7 +790,7 @@ def paged_attention_pallas_grouped(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
             interpret=interpret,
-        )(bt_k, bt_v, context_lens, q, blocks)
+        )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
     # fallback: BlockSpec-pipelined grid (B, M) kernel (quantized caches,
     # or Hkv*D not lane-aligned)
@@ -822,7 +851,7 @@ def paged_attention_pallas_grouped(
 
 
 def _grouped_kernel_db_fresh(
-    bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref,  # scalar prefetch
+    bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref, cum_ref, lp_ref,  # prefetch
     q_ref,  # [R, Hq, D] VMEM
     blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA) — READ-ONLY here
     fk_ref, fv_ref,  # [1, R, Hkv*D] VMEM: this group's fresh post-rope K/V
@@ -840,35 +869,28 @@ def _grouped_kernel_db_fresh(
     fresh rows at absolute positions ctx0 + t. Removes the per-layer
     XLA scatter from the verify forward (~40 us per 448 rows on v5e)."""
     bi = pl.program_id(0)
+    nb = pl.num_programs(0)
     ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
     c0 = ctx0_ref[bi]
     ctx_cache = [jnp.minimum(c, c0) for c in ctx_rows]
-    ctx_max = ctx_cache[0]
-    for c in ctx_cache[1:]:
-        ctx_max = jnp.maximum(ctx_max, c)
     ppc = _pages_per_chunk(block_size)
-    # ctx0 == 0 (first verify of a 1-token prompt): run one fully-masked
-    # chunk rather than leaving started DMAs unwaited
-    nb_pages = jnp.maximum(pl.cdiv(ctx_max, block_size), 1)
-    nb_chunks = pl.cdiv(nb_pages, ppc)
-    last_page = nb_pages - 1
     _init_scratch(m_scr, l_scr, acc_scr)
 
-    def dmas(slot, ci):
+    def dmas(slot, g, ci):
         return _chunk_dmas(
-            blocks_ref, bt_k_ref, bi, ci, kbuf.at[slot], k_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         ) + _chunk_dmas(
-            blocks_ref, bt_v_ref, bi, ci, vbuf.at[slot], v_sems.at[slot],
-            block_size, last_page, ppc,
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
         )
 
-    def start(slot, ci):
-        for dma in dmas(slot, ci):
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
             dma.start()
 
     def wait(slot, ci):
-        for dma in dmas(slot, ci):
+        for dma in dmas(slot, bi, ci):
             dma.wait()
 
     cbs = ppc * block_size
@@ -880,7 +902,7 @@ def _grouped_kernel_db_fresh(
             scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
         )
 
-    _db_loop(nb_chunks, start, wait, compute)
+    _db_xstep_loop(bi, nb, cum_ref, start, wait, compute)
     # fresh rows: one more flash update at block_start = ctx0 with the
     # per-row ctx staircase giving exactly the packed-verify visibility
     _gr_update(
@@ -917,16 +939,19 @@ def paged_attention_pallas_grouped_fresh(
     g = hq // hkv
     fk = fresh_k.reshape(b, r, hkv * d).astype(blocks.dtype)
     fv = fresh_v.reshape(b, r, hkv * d).astype(blocks.dtype)
+    cum, lp = _db_chunk_meta(
+        jnp.max(jnp.minimum(context_lens.reshape(b, r), ctx0[:, None]), axis=1), bs
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+            pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, r, hkv * d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
-            pl.BlockSpec((1, r, hkv * d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, *_: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((r, hq, d), lambda bi, btk, btv, cl, c0: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
             pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
@@ -945,7 +970,7 @@ def paged_attention_pallas_grouped_fresh(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
         interpret=interpret,
-    )(bt_k, bt_v, context_lens, ctx0, q, blocks, fk, fv)
+    )(bt_k, bt_v, context_lens, ctx0, cum, lp, q, blocks, fk, fv)
 
 
 def paged_attention_pallas_partials(
@@ -1137,14 +1162,15 @@ def paged_attention_pallas(
 
     if scales is None and (hkv * d) % 128 == 0:
         # double-buffered per-row kernel (see paged_attention_pallas_grouped)
+        cum, lp = _db_chunk_meta(context_lens, bs)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(n,),
             in_specs=[
-                pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
+                pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, hq, d), lambda ni, btk, btv, cl: (ni, 0, 0)),
+            out_specs=pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
                 pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
@@ -1160,7 +1186,7 @@ def paged_attention_pallas(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
             interpret=interpret,
-        )(bt_k, bt_v, context_lens, q, blocks)
+        )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
     # fallback: BlockSpec-pipelined grid (N, M) kernel
     def _mi_eff(ni, mi, cl):
