@@ -250,6 +250,9 @@ def run_layers(
                 h2, lp["router"], lp["wgate"], lp["wup"], lp["wdown"],
                 cfg.num_experts_per_tok, cfg.norm_topk_prob,
                 cfg.valid_num_experts,
+                # ragged dispatch needs global group_sizes: ep shards
+                # would each need only their local segments (future work)
+                allow_ragged=cfg.ep_size == 1,
             )
         elif "wgu" in lp:
             gu = mm(h2, lp["wgu"])

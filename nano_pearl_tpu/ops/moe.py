@@ -19,14 +19,21 @@ Design (TPU-first):
   is materialized as a dense [N, E] gate matrix (one-hot combine) so the
   whole block stays static-shaped — no ragged dispatch, no capacity
   dropping, numerics exactly match HF's exact (non-capacity) routing.
-- Every expert processes every token ("dense dispatch") and the gate
-  matrix zeroes the non-selected terms. For DECODE — the PEARL hot path —
-  this is near-free: with batch x top_k selections spread over E experts
+- DECODE uses dense dispatch: every expert processes every token and the
+  gate matrix zeroes the non-selected terms. This is near-free for the
+  PEARL hot path: with batch x top_k selections spread over E experts
   essentially all expert weights must be read from HBM anyway, and
   decode is weight-bandwidth-bound, so dense compute costs what sparse
-  compute would. For large-N prefill it spends E/top_k extra FLOPs;
-  a capacity-based all_to_all dispatch is the documented follow-up if
-  MoE prefill ever dominates.
+  compute would.
+- PREFILL (N >= _RAGGED_MIN_ROWS rows) uses SORTED RAGGED dispatch via
+  ``jax.lax.ragged_dot``: token-expert assignments are sorted by expert
+  and each expert multiplies exactly its own contiguous row segment —
+  FLOPs drop from E*N*H*F to top_k*N*H*F with NO capacity dropping
+  (bit-exact routing, unlike capacity-based MoE kernels). ragged_dot is
+  the native TPU grouped-matmul primitive (MXU tiles per group). The
+  ragged path currently requires ep_size == 1 (the caller gates on it:
+  group_sizes are global, and GSPMD cannot shard the group axis of a
+  ragged_dot) and bf16/f32 expert weights.
 - Expert parallelism (EP): shard the E axis over the `ep` mesh axis
   (parallel/sharding.py). The three expert einsums are then fully local
   per shard and the final gate-weighted combine contracts E, which GSPMD
@@ -86,6 +93,49 @@ def _mm_e_down(a: jax.Array, w) -> jax.Array:
     return jnp.einsum("enf,efh->enh", a, w)
 
 
+_RAGGED_MIN_ROWS = 128  # below this the dense einsum's waste is noise
+
+
+def _route_topk(router_logits, top_k, norm_topk_prob, valid_num_experts):
+    """(vals [N,k] fp32, idx [N,k] int32) — shared by both dispatches."""
+    logits = router_logits.astype(jnp.float32)
+    e = logits.shape[1]
+    if valid_num_experts is not None and valid_num_experts < e:
+        pad_mask = jnp.arange(e) >= valid_num_experts
+        logits = jnp.where(pad_mask, -jnp.inf, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(probs, top_k)
+    if norm_topk_prob:
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    return vals, idx
+
+
+def _moe_mlp_ragged(
+    x, router_logits, wgate, wup, wdown, top_k, norm_topk_prob,
+    valid_num_experts,
+):
+    """Sorted ragged dispatch (prefill): top_k*N rows through the expert
+    FFNs instead of E*N, exact routing (no capacity drop)."""
+    n, h = x.shape
+    e = router_logits.shape[1]
+    vals, idx = _route_topk(router_logits, top_k, norm_topk_prob, valid_num_experts)
+    e_flat = idx.reshape(-1)  # [N*k]
+    tok_flat = jnp.repeat(jnp.arange(n, dtype=jnp.int32), top_k)
+    order = jnp.argsort(e_flat)
+    ts = tok_flat[order]  # source token of sorted row
+    ws = vals.reshape(-1)[order]  # gate weight of sorted row
+    group_sizes = jnp.bincount(e_flat, length=e).astype(jnp.int32)
+    xg = x[ts]  # [N*k, H]
+    g = jax.lax.ragged_dot(xg, wgate, group_sizes)
+    u = jax.lax.ragged_dot(xg, wup, group_sizes)
+    a = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    o = jax.lax.ragged_dot(a, wdown, group_sizes)  # [N*k, H]
+    out = jnp.zeros((n, h), jnp.float32).at[ts].add(
+        o.astype(jnp.float32) * ws[:, None]
+    )
+    return out.astype(x.dtype)
+
+
 def moe_mlp(
     x: jax.Array,  # [N, H]
     router_w: jax.Array,  # [H, E]
@@ -95,9 +145,25 @@ def moe_mlp(
     top_k: int,
     norm_topk_prob: bool,
     valid_num_experts: int | None = None,
+    allow_ragged: bool = False,
 ) -> jax.Array:
-    """Sparse-MoE SwiGLU block, exact HF numerics, returns [N, H]."""
+    """Sparse-MoE SwiGLU block, exact HF numerics, returns [N, H].
+
+    ``allow_ragged`` (caller guarantees ep_size == 1) switches large-N
+    calls to the sorted ragged_dot dispatch; decode and quantized experts
+    stay on the dense-dispatch einsums."""
     router_logits = x @ router_w  # [N, E]
+    if (
+        allow_ragged
+        and x.shape[0] >= _RAGGED_MIN_ROWS
+        and not is_quantized(wgate)
+        and not is_quantized(wup)
+        and not is_quantized(wdown)
+    ):
+        return _moe_mlp_ragged(
+            x, router_logits, wgate, wup, wdown, top_k, norm_topk_prob,
+            valid_num_experts,
+        )
     gates = route(router_logits, top_k, norm_topk_prob, valid_num_experts)
     g = _mm_e(x, wgate)  # [E, N, F]
     u = _mm_e(x, wup)

@@ -445,6 +445,196 @@ def _grouped_kernel_db(
     _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
+# ------------------------------------------------- mono (grid=1) kernels
+#
+# The db kernels cut DMA traffic to the actual context, but still pay
+# Mosaic's per-grid-step fixed cost (scalar-core index maps + pipeline
+# bookkeeping, ~2.7 us/step measured on v5e) once per ROW/GROUP: 32
+# steps/layer x 36 layers ~ 3 ms of the bench verify forward and the
+# dominant cost of the AR decode step. The mono kernels run the ENTIRE
+# layer as ONE grid step: a flat in-kernel stream over (group, chunk)
+# pairs (cum_ref gives the group boundaries), with the same
+# double-buffered chunk DMAs plus q/o staged through VMEM by
+# double-buffered DMAs of their own (q_hbm/o_hbm live in ANY space —
+# per-group slabs are fetched/written at dynamic LEADING-dim offsets,
+# the one dynamic-DMA form this Mosaic toolchain accepts; dynamic
+# sublane-dim slices crash it, see ops/kv_cache.write_fresh).
+
+
+def _mono_stream(
+    n_groups, cum_ref, start_chunk, wait_chunk, start_q, begin_group,
+    compute, end_group,
+):
+    """Walk the flat chunk stream t = 0..cum[n_groups) with one-item DMA
+    lookahead. Every group has >= 1 chunk (ctx >= 1), so the group index
+    advances by at most one per step."""
+    total = cum_ref[n_groups]
+    start_chunk(0, 0, 0)
+    start_q(0)
+
+    def body(t, g):
+        g = jnp.where(t >= cum_ref[g + 1], g + 1, g)
+        ci = t - cum_ref[g]
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+        g2 = jnp.where(t + 1 >= cum_ref[g + 1], g + 1, g)
+
+        @pl.when(t + 1 < total)
+        def _lookahead():
+            start_chunk(nxt, g2, (t + 1) - cum_ref[g2])
+
+            @pl.when(g2 != g)
+            def _():
+                start_q(g2)
+
+        @pl.when(ci == 0)
+        def _begin():
+            begin_group(g)
+
+        wait_chunk(slot, g, ci)
+        compute(slot, g, ci)
+
+        @pl.when(t + 1 == cum_ref[g + 1])
+        def _end():
+            end_group(g)
+
+        return g
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+def _grouped_kernel_db_mono(
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,  # scalar prefetch
+    q_hbm,  # [B, R, Hq, D] ANY
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA)
+    o_hbm,  # [B, R, Hq, D] ANY (output)
+    kbuf, vbuf,  # VMEM (2, C*BS, Hkv*D)
+    qbuf, obuf,  # VMEM (2, R, Hq, D)
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems,  # DMA sems (2, C)
+    q_sems, o_sems,  # DMA sems (2,)
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+    n_groups: int,
+):
+    ppc = _pages_per_chunk(block_size)
+    cbs = ppc * block_size
+
+    def chunk_dmas(slot, g, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.start()
+
+    def wait_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.wait()
+
+    def q_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(q_hbm.at[g], qbuf.at[p], q_sems.at[p])
+
+    def o_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(obuf.at[p], o_hbm.at[g], o_sems.at[p])
+
+    def start_q(g):
+        q_dma(g).start()
+
+    def begin_group(g):
+        # the obuf slot this group will write still has group g-2's
+        # writeback potentially in flight
+        @pl.when(g >= 2)
+        def _():
+            o_dma(g - 2).wait()
+
+        q_dma(g).wait()
+        _init_scratch(m_scr, l_scr, acc_scr)
+
+    def compute(slot, g, ci):
+        ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        _gr_update(
+            qbuf[jax.lax.rem(g, 2)], kbuf[slot], vbuf[slot], ctx_rows,
+            ci * cbs, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    def end_group(g):
+        _gr_finalize(obuf.at[jax.lax.rem(g, 2)], l_scr, acc_scr, num_kv_heads)
+        o_dma(g).start()
+
+    _mono_stream(
+        n_groups, cum_ref, start_chunk, wait_chunk, start_q, begin_group,
+        compute, end_group,
+    )
+    # drain the last (up to) two output writebacks
+    o_dma(n_groups - 1).wait()
+    if n_groups >= 2:
+        o_dma(n_groups - 2).wait()
+
+
+def _mono_call(
+    q4: jax.Array,  # [B, R, Hq, D]
+    blocks: jax.Array,
+    bt_k: jax.Array,  # [B, M] layer-folded
+    bt_v: jax.Array,
+    context_lens: jax.Array,  # [B*R]
+    ctx_max_per_group: jax.Array,  # [B]
+    scale: float,
+    bs: int,
+    hkv: int,
+    interpret: bool = False,
+):
+    b, r, hq, d = q4.shape
+    g = hq // hkv
+    cum, lp = _db_chunk_meta(ctx_max_per_group, bs)
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q4
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_mono, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r, n_groups=b,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, cum, lp, q4, blocks)
+    return out.reshape(b * r, hq, d)
+
+
+def _use_mono() -> bool:
+    import os
+
+    return os.environ.get("NANO_PEARL_MONO", "1") == "1"
+
+
 # ---------------------------------------------------------- int8 kernels
 
 
@@ -757,6 +947,15 @@ def paged_attention_pallas_grouped(
     ]
 
     if scales is None and (hkv * d) % 128 == 0:
+        if _use_mono():
+            # mono kernel: the whole layer is ONE grid step (see the
+            # mono section) — removes the ~2.7 us/grid-step fixed cost
+            # that dominates the db kernel at decode/verify shapes
+            return _mono_call(
+                q.reshape(b, r, hq, d), blocks, bt_k, bt_v, context_lens,
+                jnp.max(context_lens.reshape(b, r), axis=1), scale, bs,
+                hkv, interpret,
+            )
         # double-buffered per-group kernel: grid (B,), manual DMA over
         # the group's ACTUAL context blocks, pipelined ACROSS grid steps
         # (_db_xstep_loop). Manual HBM DMA slices need the minor dim
@@ -1161,6 +1360,12 @@ def paged_attention_pallas(
     ]
 
     if scales is None and (hkv * d) % 128 == 0:
+        if _use_mono():
+            # mono kernel with one row per group (decode = grouped r=1)
+            return _mono_call(
+                q.reshape(n, 1, hq, d), blocks, bt_k, bt_v, context_lens,
+                context_lens, scale, bs, hkv, interpret,
+            )
         # double-buffered per-row kernel (see paged_attention_pallas_grouped)
         cum, lp = _db_chunk_meta(context_lens, bs)
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -91,6 +91,31 @@ def test_moe_mlp_matches_per_token_loop():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("norm_topk", [True, False])
+def test_moe_mlp_ragged_matches_dense(norm_topk):
+    """The sorted ragged_dot dispatch (prefill path) == dense dispatch,
+    including padded (EP-alignment) experts that must never be routed."""
+    from nano_pearl_tpu.ops.moe import _RAGGED_MIN_ROWS
+
+    rng = np.random.default_rng(2)
+    n, h, e, f, k = max(192, _RAGGED_MIN_ROWS), 16, 6, 24, 2
+    valid = e - 1  # one padding expert
+    x = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+    router = jnp.asarray(rng.normal(size=(h, e)), jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(e, h, f)), jnp.float32) * 0.2
+    wu = jnp.asarray(rng.normal(size=(e, h, f)), jnp.float32) * 0.2
+    wd = jnp.asarray(rng.normal(size=(e, f, h)), jnp.float32) * 0.2
+    dense = np.asarray(
+        moe_mlp(x, router, wg, wu, wd, k, norm_topk, valid, allow_ragged=False)
+    )
+    ragged = np.asarray(
+        jax.jit(
+            lambda *a: moe_mlp(*a, k, norm_topk, valid, allow_ragged=True)
+        )(x, router, wg, wu, wd)
+    )
+    np.testing.assert_allclose(ragged, dense, rtol=1e-5, atol=1e-5)
+
+
 # ------------------------------------------------------- HF logits parity
 
 torch = pytest.importorskip("torch")
