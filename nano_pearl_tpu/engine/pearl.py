@@ -59,11 +59,30 @@ class PearlOrchestrator:
         # fully verified).
         self.last_gamma = 0
 
+        # Disjoint-across-hosts placement (parallel/distributed.py): a
+        # controller dispatches only the group(s) whose devices it owns;
+        # each group's per-round outputs reach the other hosts through a
+        # DCN-level broadcast (the reference's verify-group broadcast,
+        # pearl_model_runner.py:523-526).
+        from nano_pearl_tpu.parallel import distributed as dist
+
+        self.owns_draft = draft.is_local
+        self.owns_target = target.is_local
+        self._bc_draft = dist.is_multihost() and not dist.mesh_spans_all(
+            draft.gmesh.mesh
+        )
+        self._bc_target = dist.is_multihost() and not dist.mesh_spans_all(
+            target.gmesh.mesh
+        )
+        self._draft_src = dist.owner_process(draft.gmesh.mesh)
+        self._target_src = dist.owner_process(target.gmesh.mesh)
+
         from nano_pearl_tpu.engine.fused import FusedPearl
 
         # The fused AR loop touches only the target group, so it is valid
-        # on any placement; the fused PEARL loop needs one program
-        # spanning both models (shared device set).
+        # on any placement whose target mesh this controller can fully
+        # drive; the fused PEARL loop needs one program spanning both
+        # models (shared device set).
         self._fused_impl = FusedPearl(pcfg, draft, target)
         self.fused: FusedPearl | None = None
         if pcfg.execution_mode in ("auto", "fused"):
@@ -80,12 +99,31 @@ class PearlOrchestrator:
         self._seed_counter += 1
         return self._seed_counter
 
+    def _from_draft(self, arr):
+        """Draft-group output on every controller (no-op unless the draft
+        mesh is remote to some process; non-owners pass a same-shape
+        placeholder)."""
+        if not self._bc_draft:
+            return np.asarray(arr)
+        from nano_pearl_tpu.parallel import distributed as dist
+
+        return dist.sync_from(self._draft_src, arr)
+
+    def _from_target(self, arr):
+        if not self._bc_target:
+            return np.asarray(arr)
+        from nano_pearl_tpu.parallel import distributed as dist
+
+        return dist.sync_from(self._target_src, arr)
+
     def _sync(self):
         """Block until both groups' device state is final (the timing
         equivalent of the reference's torch.cuda.synchronize brackets,
         :427, :462)."""
-        jax.block_until_ready(self.draft.kv)
-        jax.block_until_ready(self.target.kv)
+        if self.draft.kv is not None:
+            jax.block_until_ready(self.draft.kv)
+        if self.target.kv is not None:
+            jax.block_until_ready(self.target.kv)
 
     @staticmethod
     def _tk_tp(seqs, b_pad):
@@ -143,7 +181,7 @@ class PearlOrchestrator:
             # (no cache read; see runner._prefill_self_impl)
             fresh_d = all(s.draft.num_cached_tokens == 0 for s in seqs)
             fresh_t = all(s.target.num_cached_tokens == 0 for s in seqs)
-            if not target_only:
+            if not target_only and self.owns_draft:
                 logits_d = self.draft.prefill(
                     [s.draft for s in seqs],
                     self.pcfg.bucket_tokens(lq_d),
@@ -151,19 +189,26 @@ class PearlOrchestrator:
                     self._m_pad_tight([s.draft for s in seqs]),
                     fresh_only=fresh_d,
                 )
-            logits_t = self.target.prefill(
-                [s.target for s in seqs],
-                self.pcfg.bucket_tokens(lq_t),
-                b_pad,
-                self._m_pad_tight([s.target for s in seqs]),
-                fresh_only=fresh_t,
-            )
-            tk, tp = self._tk_tp(seqs, b_pad)
-            toks_t = np.asarray(
-                self.target.sample_tokens(
-                    logits_t, temps, self._next_seed(), top_ks=tk, top_ps=tp
+            if self.owns_target:
+                logits_t = self.target.prefill(
+                    [s.target for s in seqs],
+                    self.pcfg.bucket_tokens(lq_t),
+                    b_pad,
+                    self._m_pad_tight([s.target for s in seqs]),
+                    fresh_only=fresh_t,
                 )
+            tk, tp = self._tk_tp(seqs, b_pad)
+            seed = self._next_seed()
+            toks_t = (
+                np.asarray(
+                    self.target.sample_tokens(
+                        logits_t, temps, seed, top_ks=tk, top_ps=tp
+                    )
+                )
+                if self.owns_target
+                else np.zeros((b_pad,), np.int32)
             )
+            toks_t = self._from_target(toks_t)
             # The committed (target) sample seeds BOTH streams. The reference
             # has each group sample its own first token (:313-314) because
             # its processes cannot cheaply share it — leaving an unverified
@@ -209,16 +254,20 @@ class PearlOrchestrator:
             # drains to <= chunk (<= budget); the final <= budget tokens go
             # through the batch's normal sampling pass. Trigger on budget,
             # not chunk: with a non-block-multiple budget a remainder in
-            # (chunk, budget] fits the normal pass directly.
+            # (chunk, budget] fits the normal pass directly. Non-owner
+            # controllers (disjoint multi-host) advance only the host
+            # bookkeeping — no logits leave a chunk pass, so there is
+            # nothing to broadcast.
             while len(view) - view.num_cached_tokens > chunk:
-                runner.prefill(
-                    [view],
-                    self.pcfg.bucket_tokens(chunk),
-                    self.pcfg.bucket_batch(1),
-                    self._m_pad_tight([view]),
-                    fresh_only=view.num_cached_tokens == 0,
-                    limit=chunk,
-                )
+                if runner.is_local:
+                    runner.prefill(
+                        [view],
+                        self.pcfg.bucket_tokens(chunk),
+                        self.pcfg.bucket_batch(1),
+                        self._m_pad_tight([view]),
+                        fresh_only=view.num_cached_tokens == 0,
+                        limit=chunk,
+                    )
                 view.num_cached_tokens += chunk
 
         for s in seqs:
@@ -247,14 +296,31 @@ class PearlOrchestrator:
         draft_views = [s.draft for s in seqs]
         target_views = [s.target for s in seqs]
 
-        # 1+2: dispatch both groups back-to-back (concurrent on disjoint meshes)
-        toks_dev = self.draft.gamma_scan(draft_views, gamma, b_pad, self._m_pad(draft_views))
-        logits_dev = self.target.verify_forward(
-            target_views, is_pre, gamma, b_pad, self._m_pad(target_views)
+        # 1+2: dispatch both groups back-to-back (concurrent on disjoint
+        # meshes; on disjoint HOSTS each controller dispatches only its
+        # own group and the two run concurrently by process parallelism)
+        toks_dev = (
+            self.draft.gamma_scan(draft_views, gamma, b_pad, self._m_pad(draft_views))
+            if self.owns_draft
+            else None
+        )
+        logits_dev = (
+            self.target.verify_forward(
+                target_views, is_pre, gamma, b_pad, self._m_pad(target_views)
+            )
+            if self.owns_target
+            else None
         )
 
-        # 3: fetch draft tokens — [gamma, b_pad] -> [b, gamma]
-        g_toks = np.asarray(toks_dev).T[:b]
+        # 3: fetch draft tokens — [gamma, b_pad] -> [b, gamma] — and share
+        # them with every controller (the reference's verify-group
+        # broadcast, :523)
+        g_toks = (
+            np.asarray(toks_dev).T[:b]
+            if toks_dev is not None
+            else np.zeros((b, gamma), np.int32)
+        )
+        g_toks = self._from_draft(g_toks)
 
         # 4: build the to-be-verified window. The target's forward over its
         # last-appended tokens yields logits predicting the NEXT positions,
@@ -298,18 +364,33 @@ class PearlOrchestrator:
                     stops[i, len(eos) : len(eos) + len(s.stop_token_ids)] = (
                         s.stop_token_ids
                     )
-        res = self.target.verdict(
-            logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
-            ignore_eos, self._next_seed(), gamma, top_ks=tk, top_ps=tp,
-            stops=stops,
-        )
+        seed = self._next_seed()
+        if self.owns_target:
+            res = self.target.verdict(
+                logits_dev, tbv, is_pre, temps, num_completion, max_tokens,
+                ignore_eos, seed, gamma, top_ks=tk, top_ps=tp,
+                stops=stops,
+            )
 
-        # 7: fetch the 5 verdict vectors
-        acc = np.asarray(res.acc)[:b]
-        rollout = np.asarray(res.rollout)[:b]
-        revise = np.asarray(res.revise)[:b]
-        finish = np.asarray(res.finish)[:b]
-        n_acc = np.asarray(res.n_acc)[:b]
+            # 7: fetch the 5 verdict vectors
+            acc = np.asarray(res.acc)[:b]
+            rollout = np.asarray(res.rollout)[:b]
+            revise = np.asarray(res.revise)[:b]
+            finish = np.asarray(res.finish)[:b]
+            n_acc = np.asarray(res.n_acc)[:b]
+        else:
+            acc = rollout = revise = finish = n_acc = np.zeros((b,), np.int64)
+        if self._bc_target:
+            # one packed broadcast (the reference's global verify_res
+            # broadcast, :526/:662)
+            packed = self._from_target(
+                np.stack([
+                    np.asarray(acc, np.int64), np.asarray(rollout, np.int64),
+                    np.asarray(revise, np.int64), np.asarray(finish, np.int64),
+                    np.asarray(n_acc, np.int64),
+                ])
+            )
+            acc, rollout, revise, finish, n_acc = packed
 
         # 8: apply the state machine to both views
         for i, seq in enumerate(seqs):
@@ -427,9 +508,10 @@ class PearlOrchestrator:
         for seq in self.scheduler.running:
             seq.max_tokens = 10**9
             seq.ignore_eos = True
-        fused_ar = (
-            self.pcfg.execution_mode != "overlap"
-        )
+        # disjoint multi-host: the fused AR device state machine lives on
+        # the target mesh only — non-owner controllers cannot follow its
+        # mid-run fetches, so all hosts take the per-step path
+        fused_ar = self.pcfg.execution_mode != "overlap" and not self._bc_target
         cap = max(num_steps, reserve_steps or 0) + 2
         # target-only reservation: the draft never decodes in AR mode
         seqs = self.scheduler.schedule_decode(
@@ -454,12 +536,17 @@ class PearlOrchestrator:
                     self.scheduler.target_bm.ensure_capacity(v, 1)
                 b = len(seqs)
                 b_pad = self.pcfg.bucket_batch(b)
-                logits = self.target.decode(views, b_pad, self._m_pad(views))
                 temps = np.zeros((b_pad,), np.float32)
                 temps[:b] = [s.temperature for s in seqs]
-                toks = np.asarray(
-                    self.target.sample_tokens(logits, temps, self._next_seed())
-                )
+                seed = self._next_seed()
+                if self.owns_target:
+                    logits = self.target.decode(views, b_pad, self._m_pad(views))
+                    toks = np.asarray(
+                        self.target.sample_tokens(logits, temps, seed)
+                    )
+                else:
+                    toks = np.zeros((b_pad,), np.int32)
+                toks = self._from_target(toks)
                 for v, t in zip(views, toks[:b]):
                     v.append(int(t))
         self._sync()
@@ -471,9 +558,7 @@ class PearlOrchestrator:
         group but discards its output; we skip that waste)."""
         start = time.perf_counter()
         self.prefill_all(target_only=True)
-        fused_ar = (
-            self.pcfg.execution_mode != "overlap"
-        )
+        fused_ar = self.pcfg.execution_mode != "overlap" and not self._bc_target
         if fused_ar:
             while not self.scheduler.is_finished():
                 self._fused_ar_run()
@@ -488,15 +573,20 @@ class PearlOrchestrator:
                 b = len(seqs)
                 b_pad = self.pcfg.bucket_batch(b)
                 views = [s.target for s in seqs]
-                logits = self.target.decode(views, b_pad, self._m_pad(views))
                 temps = np.zeros((b_pad,), np.float32)
                 temps[:b] = [s.temperature for s in seqs]
                 tk, tp = self._tk_tp(seqs, b_pad)
-                toks = np.asarray(
-                    self.target.sample_tokens(
-                        logits, temps, self._next_seed(), top_ks=tk, top_ps=tp
+                seed = self._next_seed()
+                if self.owns_target:
+                    logits = self.target.decode(views, b_pad, self._m_pad(views))
+                    toks = np.asarray(
+                        self.target.sample_tokens(
+                            logits, temps, seed, top_ks=tk, top_ps=tp
+                        )
                     )
-                )
+                else:
+                    toks = np.zeros((b_pad,), np.int32)
+                toks = self._from_target(toks)
                 self.scheduler.postprocess_ar(seqs, [int(t) for t in toks[:b]])
         self._sync()
         return time.perf_counter() - start
@@ -902,14 +992,22 @@ class PearlOrchestrator:
                 for step in range(profile_steps):
                     for v in views:
                         bm.ensure_capacity(v, 1)
-                    t0 = time.perf_counter()
-                    logits = runner.decode(views, self.pcfg.bucket_batch(bs), self._m_pad(views))
-                    toks = np.asarray(jax.block_until_ready(logits)).argmax(-1)
-                    times.append(time.perf_counter() - t0)
+                    if runner.is_local:
+                        t0 = time.perf_counter()
+                        logits = runner.decode(views, self.pcfg.bucket_batch(bs), self._m_pad(views))
+                        toks = np.asarray(jax.block_until_ready(logits)).argmax(-1)
+                        times.append(time.perf_counter() - t0)
+                    else:
+                        # disjoint multi-host non-owner: track lengths only
+                        # (profile state is discarded; the owner's measured
+                        # speed is broadcast below)
+                        toks = np.zeros((bs,), np.int32)
                     for v, t in zip(views, toks[:bs]):
                         v.append(int(t))
                 good = times[skip_first:]
-                speeds[runner.name] = len(good) / sum(good)
+                speeds[runner.name] = len(good) / sum(good) if good else 0.0
+            speeds["draft"] = float(self._from_draft(np.float64(speeds["draft"])))
+            speeds["target"] = float(self._from_target(np.float64(speeds["target"])))
             gamma_list[bs] = max(1, round(speeds["draft"] / speeds["target"]))
             logger.info(
                 f"auto-gamma bs={bs}: draft {speeds['draft']:.1f} it/s, "

@@ -79,8 +79,20 @@ class GroupRunner:
             next(iter(gmesh.mesh.devices.flat)).platform
         )
 
-        shardings = param_shardings(mcfg, gmesh)
-        if params is not None:
+        # Disjoint multi-host placement: a controller whose process owns
+        # none of this group's devices builds the runner WITHOUT weights
+        # or KV cache (it cannot place arrays on remote-only meshes and
+        # never dispatches this group's programs — the orchestrator gates
+        # on ownership and receives this group's outputs via
+        # parallel/distributed.sync_from).
+        from nano_pearl_tpu.parallel.distributed import mesh_is_local
+
+        self.is_local = mesh_is_local(gmesh.mesh)
+
+        shardings = param_shardings(mcfg, gmesh) if self.is_local else None
+        if not self.is_local:
+            self.params = None
+        elif params is not None:
             if mcfg.quant and not isinstance(params["layers"]["wq"], dict):
                 # caller handed plain weights but the config asks for
                 # weight-only quantization: quantize on device
@@ -109,7 +121,7 @@ class GroupRunner:
                     lambda s: init_params(mcfg, jax.random.key(s)),
                     out_shardings=shardings,
                 )(np.int64(seed))
-        if mcfg.fuse_proj and not mcfg.is_moe and gmesh.pp_size == 1:
+        if self.is_local and mcfg.fuse_proj and not mcfg.is_moe and gmesh.pp_size == 1:
             # fused qkv / gate|up projections (ModelConfig.fuse_proj):
             # concat on device with the donated separate weights freed
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -132,7 +144,11 @@ class GroupRunner:
                     fuse_projections, out_shardings=lsh, donate_argnums=0
                 )(self.params["layers"])
             self.params = dict(self.params, layers=fused_layers)
-        self.rope_table = jax.device_put(make_rope_table(mcfg), gmesh.replicated)
+        self.rope_table = (
+            jax.device_put(make_rope_table(mcfg), gmesh.replicated)
+            if self.is_local
+            else None
+        )
 
         # Pipeline parallelism: layer-sharded forward via shard_map
         # (parallel/pp.py); the plain forward otherwise. Picked ONCE here
@@ -245,7 +261,7 @@ class GroupRunner:
         )
         self._attn_prefill_prefix.wants_fresh_kv = True
 
-        self.num_blocks = self._decide_num_blocks(pcfg, mcfg)
+        self.num_blocks = self._decide_num_blocks(pcfg, mcfg) if self.is_local else 0
         if self.sp_size > 1:
             # the cache's block axis (num_blocks + 1 garbage block) is
             # sharded over sp — round down so it divides evenly
@@ -253,23 +269,45 @@ class GroupRunner:
                 self.sp_size - 1,
                 (self.num_blocks + 1) // self.sp_size * self.sp_size - 1,
             )
-        self.kv = make_kv_cache(
-            mcfg.num_hidden_layers,
-            self.num_blocks,
-            self.block_size,
-            mcfg.num_key_value_heads,
-            mcfg.head_dim,
-            dtype=jnp.dtype(mcfg.dtype),
-            sharding=kv_cache_sharding(gmesh, mcfg.kv_quant),
-            quant=mcfg.kv_quant,
-        )
-        kv_bytes = sum(a.nbytes for a in jax.tree.leaves(self.kv))
-        logger.info(
-            f"[{self.name}] kv cache: {self.num_blocks} blocks x {self.block_size} tokens "
-            f"({kv_bytes / 2**30:.2f} GiB global"
-            + (f", {mcfg.kv_quant}" if mcfg.kv_quant else "") + ")",
-            color="green",
-        )
+        from nano_pearl_tpu.parallel import distributed as dist
+
+        if dist.is_multihost() and not dist.mesh_spans_all(gmesh.mesh):
+            # disjoint-across-hosts placement: every controller's
+            # replicated scheduler needs the SAME block count, but only
+            # owners can read device memory stats — take the owner's
+            # value (a one-time init collective; all processes construct
+            # their runners in the same order)
+            self.num_blocks = int(
+                dist.sync_from(
+                    dist.owner_process(gmesh.mesh),
+                    np.int64(self.num_blocks),
+                )
+            )
+        if self.is_local:
+            self.kv = make_kv_cache(
+                mcfg.num_hidden_layers,
+                self.num_blocks,
+                self.block_size,
+                mcfg.num_key_value_heads,
+                mcfg.head_dim,
+                dtype=jnp.dtype(mcfg.dtype),
+                sharding=kv_cache_sharding(gmesh, mcfg.kv_quant),
+                quant=mcfg.kv_quant,
+            )
+            kv_bytes = sum(a.nbytes for a in jax.tree.leaves(self.kv))
+            logger.info(
+                f"[{self.name}] kv cache: {self.num_blocks} blocks x {self.block_size} tokens "
+                f"({kv_bytes / 2**30:.2f} GiB global"
+                + (f", {mcfg.kv_quant}" if mcfg.kv_quant else "") + ")",
+                color="green",
+            )
+        else:
+            self.kv = None
+            logger.info(
+                f"[{self.name}] remote group ({self.num_blocks} blocks tracked, "
+                "no local devices)",
+                color="yellow",
+            )
         self.garbage_block = self.num_blocks  # extra block appended by make_kv_cache
 
         # Deferred-write packed verify (ops/attention.paged_attention_

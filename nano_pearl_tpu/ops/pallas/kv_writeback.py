@@ -1,23 +1,34 @@
-"""Pallas strided-DMA KV writeback for the deferred-write verify path.
+"""Pallas KV writeback kernels for the deferred-write verify path.
 
 The packed-verify forward collects each layer's fresh K/V into a dense
 buffer ``fresh [L, 2, N, Hkv*D]`` (a contiguous dynamic_update_slice per
 layer — free) instead of scattering rows into the paged cache per layer.
-This kernel then writes the WHOLE round back in one pass.
+These kernels then write the WHOLE round back in one pass.
 
 Why not XLA scatter: TPU lowers a row scatter to ~80 ns/row regardless
 of batching (measured: tools/probe_kv_write.py), i.e. ~2.6 ms for the
-32K (layer, k/v, row) cells of a bench-shape verify round. But a
-sequence's packed rows occupy CONSECUTIVE flat slots whenever they do
-not cross a page boundary (~6% of rounds at BS=256, gamma=15), and the
-layer/k-v strides are regular — so each (sequence, K/V) pair is ONE
-strided HBM->HBM DMA covering all L layers: 2B DMAs instead of 2*L*N
-scatter rows. Sequences whose slots are not one contiguous run (page
-crossing; pre-verify padding rows routed to the garbage block) fall
-back to per-row strided DMAs (2*R per sequence, still amortized over L).
+32K (layer, k/v, row) cells of a bench-shape verify round.
 
-The cache is aliased in/out (``input_output_aliases``): the update is
-in place, no 4.9 GB round trip.
+``write_fresh_pallas`` below is PARKED, twice over:
+
+- Its HBM->HBM strided DMAs are addressed at ROW granularity — a
+  dynamic ds on the sublane-tiled dim, which this toolchain's Mosaic
+  rejects (remote-compile HTTP 500; each needed construct was bisected
+  to the crash on v5e 2026-08-19, see ops/kv_cache.write_fresh).
+- The tile-aligned redesign (slab read-modify-write: view the cache as
+  ``[L*2, M/8, 8, HD]`` — a bitcast, since XLA tiles the last two dims
+  (8, 128) — and DMA whole ``[L*2, T, 8, HD]`` slabs at a dynamic TILE
+  index, merging fresh rows in VMEM with static-variant shifts + iota
+  masks) COMPILES and is value-correct on chip, but the probed DMA
+  forms are ~3 orders of magnitude off bandwidth: ~8.6 ms per strided
+  window DMA (dyn ds on an untiled middle dim, full leading slice) and
+  ~6.9 ms per CONTIGUOUS 884 KB window DMA at a dynamic leading index
+  inside a fori_loop (tools/probe_slab_dma.py, v5e 2026-08-20). The
+  same contiguous-DMA form is fast in the mono attention kernels'
+  grid-free streams, so the cost is specific to this loop/alias shape;
+  not worth chasing while the XLA scatter baseline measures at roofline
+  in isolation (tools/probe_kv_write2.py: 0.021 ms for a full
+  bench-round writeback with a donated cache).
 """
 
 from __future__ import annotations

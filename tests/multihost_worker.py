@@ -23,6 +23,7 @@ def main():
     process_id = int(sys.argv[1])
     num_processes = int(sys.argv[2])
     port = int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "union"
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -62,13 +63,28 @@ def main():
             max_position_embeddings=512,
         )
 
+    if mode == "disjoint":
+        # draft group = host 0's devices, target group = host 1's — the
+        # reference's disjoint process-group topology at host granularity.
+        # Each controller dispatches only its own group; draft tokens /
+        # verdicts cross hosts via parallel/distributed.sync_from.
+        per_host = n // num_processes
+        tp_kwargs = dict(
+            draft_tp=per_host,
+            target_tp=n - per_host,
+            placement="disjoint",
+            execution_mode="overlap",
+        )
+    else:
+        tp_kwargs = dict(
+            draft_tp=n,
+            target_tp=n,
+            placement="union",
+            execution_mode="fused",
+        )
     cfg = PearlConfig(
         draft_model=mc(2),
         target_model=mc(3),
-        draft_tp=n,
-        target_tp=n,
-        placement="union",
-        execution_mode="fused",
         max_model_len=256,
         max_num_batched_tokens=512,
         kvcache_block_size=16,
@@ -78,6 +94,7 @@ def main():
         prefill_token_buckets=(32, 64, 128, 256),
         dtype="float32",
         devices=jax.devices(),
+        **tp_kwargs,
     )
     engine = PearlEngine(cfg)
     prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]

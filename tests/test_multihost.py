@@ -25,14 +25,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_engine_agrees():
+def _run_workers(mode: str):
     port = _free_port()
     num = 2
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             str(i), str(num), str(port)],
+             str(i), str(num), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=REPO, env=env,
         )
@@ -62,3 +62,19 @@ def test_two_process_engine_agrees():
     # ignore_eos + max_tokens=12; PEARL may overshoot by <= gamma on an
     # accept-finish (documented deviation #4, same as the reference)
     assert all(len(t) >= 12 for t in results[0])
+
+
+def test_two_process_engine_agrees():
+    """Union placement: both models TP-shard the global 8-device mesh,
+    the PEARL loop is one fused SPMD program over DCN collectives."""
+    _run_workers("union")
+
+
+def test_two_process_disjoint_groups():
+    """Disjoint placement ACROSS HOSTS: the draft model lives entirely on
+    process 0's devices and the target on process 1's (the reference's
+    disjoint NCCL group topology, pearl_config.py:88-93, at host
+    granularity). Each controller dispatches only its own group; draft
+    tokens and verdict vectors cross via host-level broadcast; PEARL ==
+    AR at T=0 must hold and both controllers must replay identically."""
+    _run_workers("disjoint")
