@@ -270,8 +270,18 @@ def run_layers(
 
     n_layers = jax.tree.leaves(layers)[0].shape[0]
     layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
+    # NANO_PEARL_SCAN_UNROLL=k unrolls k layers per loop step: the
+    # python-unrolled GEMM stack measured 0.65 ms/forward faster than the
+    # rolled scan at bench shapes (tools/probe_verify_breakdown.py
+    # sep_unroll vs sep_scan, v5e) — scan-body fixed costs and xs
+    # dynamic-slicing. Default 1 (rolled): compile time scales with k on
+    # the remote compiler.
+    import os
+
+    unroll = int(os.environ.get("NANO_PEARL_SCAN_UNROLL", "1"))
     (x, res, kv_cache), _ = jax.lax.scan(
-        layer_step, (x, res, kv_cache), (layers, layer_ids)
+        layer_step, (x, res, kv_cache), (layers, layer_ids),
+        unroll=min(unroll, n_layers) if unroll > 1 else 1,
     )
     return x, res, kv_cache
 

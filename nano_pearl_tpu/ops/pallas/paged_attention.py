@@ -1112,6 +1112,147 @@ def _grouped_kernel_db_fresh(
     _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
+def _grouped_kernel_db_mono_fresh(
+    bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref, cum_ref, lp_ref,  # prefetch
+    q_hbm,  # [B, R, Hq, D] ANY
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA) — READ-ONLY here
+    fk_hbm, fv_hbm,  # [B, R, Hkv*D] ANY: per-group fresh post-rope K/V
+    o_hbm,  # [B, R, Hq, D] ANY (output)
+    kbuf, vbuf, qbuf, obuf,
+    fkbuf, fvbuf,  # VMEM (2, R, Hkv*D)
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems, q_sems, o_sems, f_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+    n_groups: int,
+):
+    """Mono (grid=1) deferred-write packed verify: the whole layer as one
+    grid step — _grouped_kernel_db_mono's flat (group, chunk) stream with
+    _grouped_kernel_db_fresh's in-operand fresh-row handling (cache
+    masked to pos < min(ctx, ctx0); one final flash update folds the
+    fresh window in at absolute positions ctx0 + t). The fresh slabs ride
+    the same per-group double-buffered leading-dim DMAs as q/o."""
+    ppc = _pages_per_chunk(block_size)
+    cbs = ppc * block_size
+
+    def chunk_dmas(slot, g, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.start()
+
+    def wait_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.wait()
+
+    def q_dmas(g):
+        p = jax.lax.rem(g, 2)
+        return [
+            pltpu.make_async_copy(q_hbm.at[g], qbuf.at[p], q_sems.at[p]),
+            pltpu.make_async_copy(fk_hbm.at[g], fkbuf.at[p], f_sems.at[p, 0]),
+            pltpu.make_async_copy(fv_hbm.at[g], fvbuf.at[p], f_sems.at[p, 1]),
+        ]
+
+    def o_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(obuf.at[p], o_hbm.at[g], o_sems.at[p])
+
+    def start_q(g):
+        for dma in q_dmas(g):
+            dma.start()
+
+    def begin_group(g):
+        @pl.when(g >= 2)
+        def _():
+            o_dma(g - 2).wait()
+
+        for dma in q_dmas(g):
+            dma.wait()
+        _init_scratch(m_scr, l_scr, acc_scr)
+
+    def compute(slot, g, ci):
+        ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        c0 = ctx0_ref[g]
+        ctx_cache = [jnp.minimum(c, c0) for c in ctx_rows]
+        _gr_update(
+            qbuf[jax.lax.rem(g, 2)], kbuf[slot], vbuf[slot], ctx_cache,
+            ci * cbs, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    def end_group(g):
+        p = jax.lax.rem(g, 2)
+        ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        _gr_update(
+            qbuf[p], fkbuf[p], fvbuf[p], ctx_rows, ctx0_ref[g],
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=rows, num_kv_heads=num_kv_heads,
+        )
+        _gr_finalize(obuf.at[p], l_scr, acc_scr, num_kv_heads)
+        o_dma(g).start()
+
+    _mono_stream(
+        n_groups, cum_ref, start_chunk, wait_chunk, start_q, begin_group,
+        compute, end_group,
+    )
+    o_dma(n_groups - 1).wait()
+    if n_groups >= 2:
+        o_dma(n_groups - 2).wait()
+
+
+def _mono_call_fresh(
+    q4, blocks, fk, fv, bt_k, bt_v, context_lens, ctx0, ctx_max_per_group,
+    scale, bs, hkv, interpret=False,
+):
+    b, r, hq, d = q4.shape
+    g = hq // hkv
+    cum, lp = _db_chunk_meta(ctx_max_per_group, bs)
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q4
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks
+            pl.BlockSpec(memory_space=pl.ANY),  # fk
+            pl.BlockSpec(memory_space=pl.ANY),  # fv
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((2, r, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, r, hkv * d), blocks.dtype),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_mono_fresh, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r, n_groups=b,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, ctx0, cum, lp, q4, blocks, fk, fv)
+    return out.reshape(b * r, hq, d)
+
+
 def paged_attention_pallas_grouped_fresh(
     q: jax.Array,  # [B*R, Hq, D]
     cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] — bf16/f32 only
@@ -1138,9 +1279,15 @@ def paged_attention_pallas_grouped_fresh(
     g = hq // hkv
     fk = fresh_k.reshape(b, r, hkv * d).astype(blocks.dtype)
     fv = fresh_v.reshape(b, r, hkv * d).astype(blocks.dtype)
-    cum, lp = _db_chunk_meta(
-        jnp.max(jnp.minimum(context_lens.reshape(b, r), ctx0[:, None]), axis=1), bs
+    ctx_max = jnp.max(
+        jnp.minimum(context_lens.reshape(b, r), ctx0[:, None]), axis=1
     )
+    if _use_mono():
+        return _mono_call_fresh(
+            q.reshape(b, r, hq, d), blocks, fk, fv, bt_k, bt_v,
+            context_lens, ctx0, ctx_max, scale, bs, hkv, interpret,
+        )
+    cum, lp = _db_chunk_meta(ctx_max, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(b,),
