@@ -159,7 +159,11 @@ def main():
             if args.run_ar_benchmark:
                 run_ar()
         out, n_tok, acc, t = run_pearl()
-        mat = [sum(a) / max(1, len(a)) for a in acc]
+        # committed-tokens-per-round MAT (same accounting as bench.py):
+        # the reference's mean-of-emits degenerates under bench_generate's
+        # forced ignore_eos — a fully-accepting sequence emits its acc
+        # counter ONCE at the end, reporting the whole run as one round
+        mat = [(n - 1) / args.num_pearl_steps for n in n_tok]
         pearl_tps = sum(n_tok) / t
         row = {
             "batch": len(batch),
