@@ -313,20 +313,20 @@ class GroupRunner:
         # Deferred-write packed verify (ops/attention.paged_attention_
         # grouped_fresh + ops/kv_cache.write_fresh): fresh K/V collected
         # in-operand during the layer scan, cache written back ONCE after
-        # it. Designed to remove the per-layer XLA row scatter (~80 ns/row
-        # on v5e, ~2.9 ms of a 9.6 ms bench verify forward;
-        # tools/probe_kv_write.py) — but the strided-DMA writeback kernel
-        # that realizes the win is blocked by toolchain crashes (see
-        # ops/kv_cache.write_fresh), and with the jnp-scatter writeback
-        # the deferred forward measured 10.4 vs 9.6 ms classic on chip.
-        # So: ON for jnp backends (keeps the path suite-tested, same
-        # speed), OFF under Pallas unless NANO_PEARL_DEFERRED_VERIFY=1.
+        # it. Removes the per-layer XLA row scatter — which costs
+        # ~80 ns/ROW inside real programs however it is batched or
+        # fenced (~2.9 ms of the 8.1 ms bench verify forward;
+        # tools/probe_kv_write3.py) — in favor of the windowed-DUS
+        # writeback (ops/kv_cache.write_fresh_windows, bulk-DMA speed)
+        # plus the mono fresh-KV attention kernel. Default ON under
+        # Pallas when the folded head axis is lane-aligned and the
+        # window math applies; NANO_PEARL_DEFERRED_VERIFY=0 kills it.
         import os as _os
 
         hkv_local = mcfg.num_key_value_heads // gmesh.tp_size
         _deferred_ok_pallas = (
             (hkv_local * mcfg.head_dim) % 128 == 0
-            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY") == "1"
+            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY", "1") != "0"
         )
         self._deferred_verify = (
             self.pp_size == 1

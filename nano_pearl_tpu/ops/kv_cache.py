@@ -111,18 +111,102 @@ def write_fresh_jnp(cache, fresh: jax.Array, slots: jax.Array) -> jax.Array:
     return rows.at[idx].set(vals, mode="drop").reshape(cache.shape)
 
 
-def write_fresh(cache, fresh, slots, rows_per_group: int, use_pallas=None):
-    """Dispatch the deferred writeback (see write_fresh_jnp).
+def write_fresh_windows(cache, fresh: jax.Array, slots: jax.Array, rows_per_group: int) -> jax.Array:
+    """Deferred all-layer KV writeback as per-sequence WINDOW updates.
 
-    The Pallas strided-DMA twin is numerically validated (interpret mode,
-    tests/test_deferred_verify.py) but DISABLED on hardware: this
-    toolchain's Mosaic crashes (remote-compile HTTP 500, no diagnostic)
-    on every construct the kernel needs for arbitrary-row-offset DMA —
-    dynamic ds on a tiled (sub-lane) dim, size-1 tiled dims, and
-    pltpu.roll with a dynamic shift were each bisected to the crash on
-    v5e (2026-08-19). Until the toolchain accepts one of them, the jnp
-    scatter (~80 ns/row) is the writeback everywhere."""
+    Why not the row scatter (write_fresh_jnp): XLA lowers a TPU scatter
+    to a ~80 ns/ROW path inside real programs regardless of batching or
+    producer fencing — ~2.9 ms for a bench-shape verify round — while
+    the same bytes as dynamic_update_slice windows move at bulk-DMA
+    speed (~0.4 ms; bisected by tools/probe_kv_write3.py, v5e
+    2026-08-20).
+
+    Contract (both verify packers satisfy it): each sequence's ``R``
+    rows are consecutive flat slots from ``slots[i*R]``, except rows
+    that (a) cross into a second page — consecutive again from
+    ``slots[i*R + rA]`` — or (b) are padding routed at or into the
+    garbage page. The writeback covers each sequence with two R-row
+    read-modify-write windows (window A clamped inside the first page,
+    window B at the second page / the garbage page), gathering the old
+    window, splicing the fresh rows at the right offset, and writing
+    back with one dynamic_update_slice per window. Rows are thereby
+    written EXACTLY at their slots when the pattern holds; padding rows
+    may land in the sequence's own not-yet-visible future slots of the
+    same page or the garbage page — both invisible (attention masks by
+    context length; pages are owned block-granular; garbage content is
+    never read unmasked).
+    """
+    l, _, nb1, bs, hd = cache.shape
+    n = slots.shape[0]
+    r = rows_per_group
+    b = n // r
+    m = nb1 * bs
+    op = cache.reshape(l, 2, m, hd)
+    fb = fresh.reshape(l, 2, b, r, hd).astype(cache.dtype)
+    srows = slots.reshape(b, r)
+    s0 = srows[:, 0]
+    page_end_a = (s0 // bs + 1) * bs
+    r_a = jnp.clip(page_end_a - s0, 0, r)  # fresh rows living in page A
+    # window A: R rows clamped inside page A; d = old head rows
+    w_a = jnp.maximum(jnp.minimum(s0, page_end_a - r), 0)
+    d_a = s0 - w_a
+    # window B: the flat slot of fresh row r_a (start of the second run),
+    # or the garbage page when the whole round fits page A
+    sb_idx = jnp.minimum(r_a, r - 1)
+    s_b = jnp.where(
+        r_a < r,
+        jnp.take_along_axis(srows, sb_idx[:, None], axis=1)[:, 0],
+        (nb1 - 1) * bs,
+    )
+    page_end_b = (s_b // bs + 1) * bs
+    w_b = jnp.maximum(jnp.minimum(s_b, page_end_b - r), 0)
+    d_b = s_b - w_b
+    r_b = r - r_a
+
+    # [W = 2B] windows: start, old-head rows, fresh row offset, fresh count
+    w = jnp.concatenate([w_a, w_b])
+    dd = jnp.concatenate([d_a, d_b])
+    f0 = jnp.concatenate([jnp.zeros_like(r_a), r_a])
+    rr = jnp.concatenate([r_a, r_b])
+
+    # old windows [W, L, 2, R, HD]
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(), start_index_map=(2,)
+    )
+    old = jax.lax.gather(op, w[:, None], gdn, slice_sizes=(l, 2, r, hd), mode="clip")
+    # fresh windows: row j of window q holds fresh[f0 + j - dd] of its seq
+    j = jnp.arange(r, dtype=jnp.int32)
+    fidx = jnp.clip(f0[:, None] + j[None, :] - dd[:, None], 0, r - 1)  # [W, R]
+    fbt = jnp.tile(fb.transpose(2, 0, 1, 3, 4), (2, 1, 1, 1, 1))  # [W, L, 2, R, HD]
+    fw = jnp.take_along_axis(fbt, fidx[:, None, None, :, None], axis=3)
+    mask = (j[None, :] >= dd[:, None]) & (j[None, :] < (dd + rr)[:, None])
+    upd = jnp.where(mask[:, None, None, :, None], fw, old)
+
+    # write back: one dynamic_update_slice per window (bulk DMA; windows
+    # of distinct sequences only ever alias in the garbage page, whose
+    # content is don't-care — later windows win deterministically)
+    def win(c, i):
+        return jax.lax.dynamic_update_slice(c, upd[i], (0, 0, w[i], 0)), 0
+
+    op, _ = jax.lax.scan(win, op, jnp.arange(2 * b))
+    return op.reshape(cache.shape)
+
+
+def write_fresh(cache, fresh, slots, rows_per_group: int, use_pallas=None):
+    """Dispatch the deferred writeback.
+
+    The windowed-DUS path (write_fresh_windows) whenever the window
+    math applies (rows_per_group <= block_size); the plain row scatter
+    otherwise. A Pallas strided-DMA twin exists
+    (ops/pallas/kv_writeback.write_fresh_pallas, numerically validated
+    in interpret mode) but its arbitrary-row-offset DMAs need dynamic
+    sublane indexing this toolchain's Mosaic rejects (bisected on v5e
+    2026-08-19), and the slab-RMW redesign measures ~10-15 us per
+    window DMA (tools/probe_slab_dma.py) — no better than the DUS
+    windows XLA already emits."""
     del use_pallas
+    if rows_per_group <= cache.shape[3]:
+        return write_fresh_windows(cache, fresh, slots, rows_per_group)
     return write_fresh_jnp(cache, fresh, slots)
 
 
