@@ -163,30 +163,37 @@ def write_fresh_windows(cache, fresh: jax.Array, slots: jax.Array, rows_per_grou
     d_b = s_b - w_b
     r_b = r - r_a
 
-    # [W = 2B] windows: start, old-head rows, fresh row offset, fresh count
+    # [W = 2B] windows (A windows then B windows): start, old-head rows,
+    # fresh row offset, fresh count
     w = jnp.concatenate([w_a, w_b])
     dd = jnp.concatenate([d_a, d_b])
     f0 = jnp.concatenate([jnp.zeros_like(r_a), r_a])
     rr = jnp.concatenate([r_a, r_b])
 
-    # old windows [W, L, 2, R, HD]
-    gdn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(), start_index_map=(2,)
-    )
-    old = jax.lax.gather(op, w[:, None], gdn, slice_sizes=(l, 2, r, hd), mode="clip")
-    # fresh windows: row j of window q holds fresh[f0 + j - dd] of its seq
+    # Every op below is dynamic_slice / dynamic_update_slice / select —
+    # NOT lax.gather / take_along_axis / scatter: on TPU those lower to
+    # per-row (or worse) paths inside real programs (the first version
+    # of this function used gather + take_along_axis and measured 24 ms
+    # — 3x WORSE than the row scatter it replaced; probe_verify_
+    # breakdown.py 2026-08-20). The dynamic fresh-row shift (window row
+    # j holds fresh[f0 + j - dd]) is realized as a dynamic_slice at
+    # offset r + f0 - dd into a fresh buffer zero-padded by r rows on
+    # both sides of the row axis.
+    fpad = jnp.pad(fb, ((0, 0), (0, 0), (0, 0), (r, r), (0, 0)))  # [L,2,B,3R,HD]
     j = jnp.arange(r, dtype=jnp.int32)
-    fidx = jnp.clip(f0[:, None] + j[None, :] - dd[:, None], 0, r - 1)  # [W, R]
-    fbt = jnp.tile(fb.transpose(2, 0, 1, 3, 4), (2, 1, 1, 1, 1))  # [W, L, 2, R, HD]
-    fw = jnp.take_along_axis(fbt, fidx[:, None, None, :, None], axis=3)
-    mask = (j[None, :] >= dd[:, None]) & (j[None, :] < (dd + rr)[:, None])
-    upd = jnp.where(mask[:, None, None, :, None], fw, old)
 
-    # write back: one dynamic_update_slice per window (bulk DMA; windows
-    # of distinct sequences only ever alias in the garbage page, whose
-    # content is don't-care — later windows win deterministically)
     def win(c, i):
-        return jax.lax.dynamic_update_slice(c, upd[i], (0, 0, w[i], 0)), 0
+        seq = jax.lax.rem(i, b)  # windows ordered [A_0..A_{b-1}, B_0..B_{b-1}]
+        old = jax.lax.dynamic_slice(c, (0, 0, w[i], 0), (l, 2, r, hd))
+        fw = jax.lax.dynamic_slice(
+            fpad, (0, 0, seq, r + f0[i] - dd[i], 0), (l, 2, 1, r, hd)
+        )[:, :, 0]
+        m = (j >= dd[i]) & (j < dd[i] + rr[i])
+        upd = jnp.where(m[None, None, :, None], fw, old)
+        # windows of distinct sequences only ever alias in the garbage
+        # page, whose content is don't-care — later windows win
+        # deterministically under this sequential scan
+        return jax.lax.dynamic_update_slice(c, upd, (0, 0, w[i], 0)), 0
 
     op, _ = jax.lax.scan(win, op, jnp.arange(2 * b))
     return op.reshape(cache.shape)
