@@ -424,16 +424,106 @@ def paged_attention_grouped_fresh_jnp(
     return out.reshape(n, hq, d).astype(q.dtype)
 
 
+M_FLOOR = -1e29  # matches ops/pallas/paged_attention.M_FLOOR
+
+
+def fresh_window_partials(
+    q: jax.Array,  # [B*R, Hq, D]
+    fresh_k: jax.Array,  # [B*R, Hkv, D] this layer's post-rope fresh keys
+    fresh_v: jax.Array,  # [B*R, Hkv, D]
+    context_lens: jax.Array,  # [B*R] per-row ctx incl. visible fresh rows
+    ctx0: jax.Array,  # [B] pre-round context per group
+    scale: float,
+    rows_per_group: int,
+):
+    """Flash partials (o normalized, m, l) of each packed-verify row's
+    attention over its group's FRESH window only (fresh slot t sits at
+    absolute position ctx0 + t; row visibility is the staircase
+    pos < ctx_row). Dense [B, R, R] scores — tiny — computed as plain
+    XLA ops; merged with the cache-side Pallas partials by
+    merge_attn_partials."""
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    hkv = fresh_k.shape[1]
+    g = hq // hkv
+    qb = q.reshape(b, r, hkv, g, d)
+    fk = fresh_k.reshape(b, r, hkv, d)
+    fv = fresh_v.reshape(b, r, hkv, d)
+    scores = (
+        jnp.einsum(
+            "brkgd,bskd->brkgs", qb, fk.astype(qb.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    ctx_rows = context_lens.reshape(b, r)
+    pos_f = ctx0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (b, r, r), 2)
+    vis = (pos_f < ctx_rows[:, :, None])[:, :, None, None, :]
+    scores = jnp.where(vis, scores, M_FLOOR)
+    m = jnp.max(scores, axis=-1)  # [B, R, Hkv, G]
+    p = jnp.where(vis, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum(
+        "brkgs,bskd->brkgd", p, fv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(l, 1e-30)[..., None]
+    return (
+        o.reshape(n, hq, d).astype(q.dtype),
+        m.reshape(n, hq),
+        l.reshape(n, hq),
+    )
+
+
+def merge_attn_partials(o1, m1, l1, o2, m2, l2, dtype):
+    """Softmax-combine two flash partial sets (o normalized by the local
+    denom, m row max, l sum-of-exp) — the same math as the SP cross-
+    shard merge (parallel/sp.py:_merge_partials). A side with nothing
+    visible carries l = 0 and contributes nothing."""
+    m_g = jnp.maximum(m1, m2)
+    w1 = l1 * jnp.exp(m1 - m_g)
+    w2 = l2 * jnp.exp(m2 - m_g)
+    num = o1.astype(jnp.float32) * w1[..., None] + o2.astype(jnp.float32) * w2[..., None]
+    den = jnp.maximum(w1 + w2, 1e-30)
+    return (num / den[..., None]).astype(dtype)
+
+
 def paged_attention_grouped_fresh(
     q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v,
     scale, rows_per_group, use_pallas=None,
 ):
-    """Dispatch the deferred-write packed-verify attention."""
+    """Dispatch the deferred-write packed-verify attention.
+
+    Pallas default ("merge"): the mono cache-partials kernel attends the
+    pre-round cache (uniform per-group context min(ctx, ctx0)) while the
+    R x R fresh window runs as dense XLA ops, merged by (m, l) — the
+    in-kernel per-group fresh update of the "kernel" mode
+    (NANO_PEARL_FRESH_MODE=kernel) costs ~1.5 us x groups x layers of
+    fixed VPU latency (~+1.7 ms/forward at bench shapes)."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
         use_pallas = attention_enabled()
     if use_pallas:
+        import os
+
+        if os.environ.get("NANO_PEARL_FRESH_MODE", "merge") == "merge":
+            from nano_pearl_tpu.ops.pallas.paged_attention import (
+                paged_attention_pallas_grouped_cache_partials,
+            )
+
+            b = group_tables.shape[0]
+            r = rows_per_group
+            ctx_cache = jnp.minimum(
+                context_lens, jnp.repeat(ctx0, r, total_repeat_length=b * r)
+            )
+            oc, mc, lc = paged_attention_pallas_grouped_cache_partials(
+                q, cache, layer_idx, group_tables, ctx_cache, scale, r
+            )
+            of, mf, lf = fresh_window_partials(
+                q, fresh_k, fresh_v, context_lens, ctx0, scale, r
+            )
+            return merge_attn_partials(oc, mc, lc, of, mf, lf, q.dtype)
         from nano_pearl_tpu.ops.pallas.paged_attention import (
             paged_attention_pallas_grouped_fresh,
         )

@@ -1119,11 +1119,11 @@ def _grouped_kernel_db_mono_fresh(
     fk_hbm, fv_hbm,  # [B, R, Hkv*D] ANY: per-group fresh post-rope K/V
     o_hbm,  # [B, R, Hq, D] ANY (output)
     kbuf, vbuf, qbuf, obuf,
-    fkbuf, fvbuf,  # VMEM (2, R, Hkv*D)
+    fkbuf, fvbuf,  # VMEM (2, Rpad, Hkv*D) — R padded to a sublane multiple
     m_scr, l_scr, acc_scr,
     k_sems, v_sems, q_sems, o_sems, f_sems,
     *, scale: float, block_size: int, num_kv_heads: int, rows: int,
-    n_groups: int,
+    rows_pad: int, n_groups: int,
 ):
     """Mono (grid=1) deferred-write packed verify: the whole layer as one
     grid step — _grouped_kernel_db_mono's flat (group, chunk) stream with
@@ -1189,10 +1189,12 @@ def _grouped_kernel_db_mono_fresh(
     def end_group(g):
         p = jax.lax.rem(g, 2)
         ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        # padded fresh rows land at positions ctx0 + rows.. >= every
+        # row's ctx, so the staircase masks them
         _gr_update(
             qbuf[p], fkbuf[p], fvbuf[p], ctx_rows, ctx0_ref[g],
             m_scr, l_scr, acc_scr,
-            scale=scale, block_size=rows, num_kv_heads=num_kv_heads,
+            scale=scale, block_size=rows_pad, num_kv_heads=num_kv_heads,
         )
         _gr_finalize(obuf.at[p], l_scr, acc_scr, num_kv_heads)
         o_dma(g).start()
@@ -1206,12 +1208,204 @@ def _grouped_kernel_db_mono_fresh(
         o_dma(n_groups - 2).wait()
 
 
+def _grouped_kernel_db_mono_partial(
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,  # scalar prefetch
+    q_hbm,  # [B, R, Hq, D] ANY
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA) — read-only
+    o_hbm,  # [B, R, Hq, D] ANY (output)
+    m_hbm, l_hbm,  # [B, Rpad, Hq] f32 ANY (outputs)
+    kbuf, vbuf, qbuf, obuf,
+    mbuf, lbuf,  # VMEM (2, Rpad, Hq) f32
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems, q_sems, o_sems, ml_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+    rows_pad: int, n_groups: int,
+):
+    """Mono grouped attention over the CACHE ONLY, exporting flash
+    partials (o normalized, m, l) per row — the cache half of the
+    deferred packed verify. The fresh-window half runs as a dense XLA
+    batched attention outside the kernel and the two merge by the
+    standard (m, l) softmax-combine (ops/attention.merge_attn_partials)
+    — replacing the per-group in-kernel fresh updates of
+    _grouped_kernel_db_mono_fresh, whose ~1.5 us/group fixed cost
+    (36 layers x 32 groups) dominated the deferred win."""
+    ppc = _pages_per_chunk(block_size)
+    cbs = ppc * block_size
+    g_heads = q_hbm.shape[2] // num_kv_heads
+
+    def chunk_dmas(slot, g, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.start()
+
+    def wait_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.wait()
+
+    def q_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(q_hbm.at[g], qbuf.at[p], q_sems.at[p])
+
+    def out_dmas(g):
+        p = jax.lax.rem(g, 2)
+        return [
+            pltpu.make_async_copy(obuf.at[p], o_hbm.at[g], o_sems.at[p]),
+            pltpu.make_async_copy(mbuf.at[p], m_hbm.at[g], ml_sems.at[p, 0]),
+            pltpu.make_async_copy(lbuf.at[p], l_hbm.at[g], ml_sems.at[p, 1]),
+        ]
+
+    def start_q(g):
+        q_dma(g).start()
+
+    def begin_group(g):
+        @pl.when(g >= 2)
+        def _():
+            for dma in out_dmas(g - 2):
+                dma.wait()
+
+        q_dma(g).wait()
+        _init_scratch_floor(m_scr, l_scr, acc_scr)
+
+    def compute(slot, g, ci):
+        ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        _gr_update(
+            qbuf[jax.lax.rem(g, 2)], kbuf[slot], vbuf[slot], ctx_rows,
+            ci * cbs, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+        )
+
+    def end_group(g):
+        p = jax.lax.rem(g, 2)
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        out = acc_scr[...] / denom  # [Hkv*R*G, D], layout [kh, r, j]
+        m_all, l_all = m_scr[...], l_scr[...]
+        r, hq = rows, num_kv_heads * g_heads
+        for kh in range(num_kv_heads):
+            sl = (kh * r * g_heads, (kh + 1) * r * g_heads)
+            obuf[p, :, kh * g_heads : (kh + 1) * g_heads, :] = (
+                jax.lax.slice(out, (sl[0], 0), (sl[1], out.shape[1]))
+                .reshape(r, g_heads, out.shape[1]).astype(obuf.dtype)
+            )
+            mbuf[p, :r, kh * g_heads : (kh + 1) * g_heads] = jax.lax.slice(
+                m_all, (sl[0], 0), (sl[1], 1)
+            ).reshape(r, g_heads)
+            lbuf[p, :r, kh * g_heads : (kh + 1) * g_heads] = jax.lax.slice(
+                l_all, (sl[0], 0), (sl[1], 1)
+            ).reshape(r, g_heads)
+        for dma in out_dmas(g):
+            dma.start()
+
+    _mono_stream(
+        n_groups, cum_ref, start_chunk, wait_chunk, start_q, begin_group,
+        compute, end_group,
+    )
+    for dma in out_dmas(n_groups - 1):
+        dma.wait()
+    if n_groups >= 2:
+        for dma in out_dmas(n_groups - 2):
+            dma.wait()
+
+
+def paged_attention_pallas_grouped_cache_partials(
+    q: jax.Array,  # [B*R, Hq, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] — bf16/f32 only
+    layer_idx,
+    group_tables: jax.Array,  # [B, M]
+    context_lens: jax.Array,  # [B*R] CACHE-side context per row
+    scale: float,
+    rows_per_group: int,
+    interpret: bool = False,
+):
+    """(o, m, l) flash partials of grouped attention over the paged
+    cache only (rows with context 0 export l = 0 / m = floor). Mono
+    (grid=1) kernel; no db fallback — callers gate on _use_mono()."""
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    rpad = -(-r // 8) * 8
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, group_tables, d
+    )
+    assert scales is None and (hkv * d) % 128 == 0
+    g = hq // hkv
+    cum, lp = _db_chunk_meta(
+        jnp.max(context_lens.reshape(b, r), axis=1), bs
+    )
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q4
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, r, hq, d), q.dtype),
+            pltpu.VMEM((2, r, hq, d), q.dtype),
+            pltpu.VMEM((2, rpad, hq), jnp.float32),
+            pltpu.VMEM((2, rpad, hq), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    o, m, l = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_mono_partial, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r, rows_pad=rpad, n_groups=b,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, r, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, rpad, hq), jnp.float32),
+            jax.ShapeDtypeStruct((b, rpad, hq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, cum, lp, q.reshape(b, r, hq, d), blocks)
+    return (
+        o.reshape(n, hq, d),
+        m[:, :r].reshape(n, hq),
+        l[:, :r].reshape(n, hq),
+    )
+
+
 def _mono_call_fresh(
     q4, blocks, fk, fv, bt_k, bt_v, context_lens, ctx0, ctx_max_per_group,
     scale, bs, hkv, interpret=False,
 ):
     b, r, hq, d = q4.shape
     g = hq // hkv
+    # fresh slabs ride manual leading-dim DMAs, so their trailing (R, HD)
+    # dims must be tile-aligned: pad R up to a sublane multiple (8). The
+    # padded rows sit at positions ctx0 + r.. >= every row's ctx and are
+    # masked by the staircase in the final _gr_update. (q/o slabs are 4D
+    # [R, Hq, D] per group — their tiled dims are (Hq, D), already
+    # aligned for any R.)
+    rpad = -(-r // 8) * 8
+    if rpad != r:
+        pad = [(0, 0), (0, rpad - r), (0, 0)]
+        fk = jnp.pad(fk, pad)
+        fv = jnp.pad(fv, pad)
     cum, lp = _db_chunk_meta(ctx_max_per_group, bs)
     ppc = _pages_per_chunk(bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1229,8 +1423,8 @@ def _mono_call_fresh(
             pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
             pltpu.VMEM((2, r, hq, d), q4.dtype),
             pltpu.VMEM((2, r, hq, d), q4.dtype),
-            pltpu.VMEM((2, r, hkv * d), blocks.dtype),
-            pltpu.VMEM((2, r, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, rpad, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, rpad, hkv * d), blocks.dtype),
             pltpu.VMEM((hkv * r * g, 128), jnp.float32),
             pltpu.VMEM((hkv * r * g, 128), jnp.float32),
             pltpu.VMEM((hkv * r * g, d), jnp.float32),
@@ -1244,7 +1438,7 @@ def _mono_call_fresh(
     out = pl.pallas_call(
         functools.partial(
             _grouped_kernel_db_mono_fresh, scale=scale, block_size=bs,
-            num_kv_heads=hkv, rows=r, n_groups=b,
+            num_kv_heads=hkv, rows=r, rows_pad=rpad, n_groups=b,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),

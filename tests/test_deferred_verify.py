@@ -191,3 +191,68 @@ def test_engine_deferred_matches_ar():
         eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=24))
     ar, _, _, _ = eng.AR_generate_token_ids()
     assert pearl == ar
+
+
+def test_cache_partials_merge_matches_jnp():
+    """The "merge" deferred-attention mode (mono cache-partials kernel +
+    dense fresh-window partials + (m, l) softmax combine) must equal the
+    jnp fresh reference."""
+    from nano_pearl_tpu.ops.attention import (
+        fresh_window_partials,
+        merge_attn_partials,
+    )
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        paged_attention_pallas_grouped_cache_partials,
+    )
+
+    b, r = 3, 4
+    rng, cache, q, fk, fv, bt = _setup(11, b, r)
+    cache = cache.astype(jnp.float32)
+    ctx0_vals = [20, 9, 33]
+    ctx = _ctx_arrays(b, r, ctx0_vals)
+    ctx0 = jnp.asarray(ctx0_vals, jnp.int32)
+    scale = D**-0.5
+    ctx_cache = jnp.minimum(ctx, jnp.repeat(ctx0, r))
+    for li in range(L):
+        want = paged_attention_grouped_fresh_jnp(
+            q, cache, li, bt, ctx, ctx0, fk[li], fv[li], scale
+        )
+        oc, mc, lc = paged_attention_pallas_grouped_cache_partials(
+            q, cache, li, bt, ctx_cache, scale, r, interpret=True
+        )
+        of, mf, lf = fresh_window_partials(q, fk[li], fv[li], ctx, ctx0, scale, r)
+        got = merge_attn_partials(oc, mc, lc, of, mf, lf, q.dtype)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+        )
+
+
+def test_cache_partials_merge_ctx0_zero():
+    """First verify of a 1-token-prompt sequence: zero cache context —
+    the cache side must export l = 0 and the fresh side must carry the
+    row alone."""
+    from nano_pearl_tpu.ops.attention import (
+        fresh_window_partials,
+        merge_attn_partials,
+    )
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        paged_attention_pallas_grouped_cache_partials,
+    )
+
+    b, r = 1, 4
+    rng, cache, q, fk, fv, bt = _setup(12, b, r)
+    cache = cache.astype(jnp.float32)
+    ctx = jnp.asarray(np.arange(1, r + 1, dtype=np.int32))
+    ctx0 = jnp.zeros((1,), jnp.int32)
+    scale = D**-0.5
+    want = paged_attention_grouped_fresh_jnp(
+        q, cache, 0, bt, ctx, ctx0, fk[0], fv[0], scale
+    )
+    oc, mc, lc = paged_attention_pallas_grouped_cache_partials(
+        q, cache, 0, bt, jnp.zeros_like(ctx), scale, r, interpret=True
+    )
+    of, mf, lf = fresh_window_partials(q, fk[0], fv[0], ctx, ctx0, scale, r)
+    got = merge_attn_partials(oc, mc, lc, of, mf, lf, q.dtype)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+    )
