@@ -334,6 +334,11 @@ class GroupRunner:
             and mcfg.kv_quant is None
             and (not self.use_pallas or _deferred_ok_pallas)
         )
+        self._verify_rowwise = (
+            _os.environ.get("NANO_PEARL_VERIFY_ROWWISE", "0") == "1"
+        )
+        if self._verify_rowwise:
+            self._deferred_verify = False
 
         # params and rope are explicit jit arguments: closure-captured
         # jax Arrays would be inlined into the HLO as constants
@@ -488,8 +493,30 @@ class GroupRunner:
           the Pallas strided-DMA kernel) — removes the ~80 ns/row
           per-layer XLA scatter (~30% of the bench verify forward).
         - classic write-then-read otherwise (sp/pp/quantized caches).
+
+        ``NANO_PEARL_VERIFY_ROWWISE=1`` (classic path only) runs the
+        verify attention through the per-row DECODE flavor with repeated
+        block tables instead of the grouped kernel: each verify row then
+        takes the exact same kernel/chunking as the draft's gamma-scan
+        decode of that position, removing the attention-side numeric
+        divergence between the two streams (at the layer-share bitwise
+        ceiling, fp-schedule differences between grouped-verify and
+        decode logits reject ~1 in 6 tokens at identical weights —
+        GEMM-shape divergence remains). Costs per-row KV re-reads
+        (no cross-row DMA sharing).
         """
         if not self._deferred_verify:
+            if self._verify_rowwise:
+                n = tokens.shape[0]
+                b = n // gamma
+                bt_rows = jnp.repeat(
+                    block_tables, gamma, axis=0, total_repeat_length=n
+                )
+                return self._forward(
+                    self.cfg, params, kv, tokens, positions, slots, rope,
+                    self._attn_decode, (bt_rows, context_lens),
+                    kv_write_fn=self._kv_write,
+                )
             return self._forward(
                 self.cfg, params, kv, tokens, positions, slots, rope,
                 partial(self._attn_grouped, rows_per_group=gamma),
