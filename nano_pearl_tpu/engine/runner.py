@@ -315,18 +315,22 @@ class GroupRunner:
         # in-operand during the layer scan, cache written back ONCE after
         # it. Removes the per-layer XLA row scatter — which costs
         # ~80 ns/ROW inside real programs however it is batched or
-        # fenced (~2.9 ms of the 8.1 ms bench verify forward;
+        # fenced (~2.9 ms of the bench verify forward;
         # tools/probe_kv_write3.py) — in favor of the windowed-DUS
-        # writeback (ops/kv_cache.write_fresh_windows, bulk-DMA speed)
-        # plus the mono fresh-KV attention kernel. Default ON under
-        # Pallas when the folded head axis is lane-aligned and the
-        # window math applies; NANO_PEARL_DEFERRED_VERIFY=0 kills it.
+        # writeback (ops/kv_cache.write_fresh_windows, bulk-DMA speed).
+        # Wall-clock it wins (~1.1 ms/round at bench shapes), but its
+        # different fp schedule costs MORE in layer-share bitwise-
+        # ceiling acceptance (MAT 12.43 -> 11.18, net -4% headline), so
+        # under Pallas it stays OPT-IN (NANO_PEARL_DEFERRED_VERIFY=1) —
+        # realistic-acceptance workloads where MAT is set by genuine
+        # model divergence are the target. jnp backends keep it on
+        # (same numerics class as their grouped path, suite-tested).
         import os as _os
 
         hkv_local = mcfg.num_key_value_heads // gmesh.tp_size
         _deferred_ok_pallas = (
             (hkv_local * mcfg.head_dim) % 128 == 0
-            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY", "1") != "0"
+            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY") == "1"
         )
         self._deferred_verify = (
             self.pp_size == 1

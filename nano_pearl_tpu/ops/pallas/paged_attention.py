@@ -630,9 +630,17 @@ def _mono_call(
 
 
 def _use_mono() -> bool:
+    """Mono kernels measure faster in isolation (verify forward 8.1 vs
+    9.6 ms) but their different fp schedule shifts the layer-share
+    bitwise-ceiling acceptance (engine MAT 12.4 -> ~10 at gamma=14,
+    identical weights) — a net headline loss, so the db kernels stay the
+    default. Realistic-acceptance scenarios (real model pairs, noise
+    rows) are driven by genuine model divergence instead; flip
+    NANO_PEARL_MONO=1 there. Full A/B: tools/chiplog + bench history
+    2026-08-20."""
     import os
 
-    return os.environ.get("NANO_PEARL_MONO", "1") == "1"
+    return os.environ.get("NANO_PEARL_MONO", "0") == "1"
 
 
 # ---------------------------------------------------------- int8 kernels
