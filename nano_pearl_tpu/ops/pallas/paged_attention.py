@@ -1221,9 +1221,10 @@ def _grouped_kernel_db_mono_partial(
     q_hbm,  # [B, R, Hq, D] ANY
     blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM (manual DMA) — read-only
     o_hbm,  # [B, R, Hq, D] ANY (output)
-    m_hbm, l_hbm,  # [B, Rpad, Hq] f32 ANY (outputs)
+    m_hbm, l_hbm,  # [B, Rpad, 128] f32 ANY (outputs; first Hq lanes live —
+    # manual DMA slabs need a 128-aligned lane dim, Hq = 8 is not)
     kbuf, vbuf, qbuf, obuf,
-    mbuf, lbuf,  # VMEM (2, Rpad, Hq) f32
+    mbuf, lbuf,  # VMEM (2, Rpad, 128) f32
     m_scr, l_scr, acc_scr,
     k_sems, v_sems, q_sems, o_sems, ml_sems,
     *, scale: float, block_size: int, num_kv_heads: int, rows: int,
@@ -1365,8 +1366,8 @@ def paged_attention_pallas_grouped_cache_partials(
             pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
             pltpu.VMEM((2, r, hq, d), q.dtype),
             pltpu.VMEM((2, r, hq, d), q.dtype),
-            pltpu.VMEM((2, rpad, hq), jnp.float32),
-            pltpu.VMEM((2, rpad, hq), jnp.float32),
+            pltpu.VMEM((2, rpad, 128), jnp.float32),
+            pltpu.VMEM((2, rpad, 128), jnp.float32),
             pltpu.VMEM((hkv * r * g, 128), jnp.float32),
             pltpu.VMEM((hkv * r * g, 128), jnp.float32),
             pltpu.VMEM((hkv * r * g, d), jnp.float32),
@@ -1385,15 +1386,15 @@ def paged_attention_pallas_grouped_cache_partials(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, r, hq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, rpad, hq), jnp.float32),
-            jax.ShapeDtypeStruct((b, rpad, hq), jnp.float32),
+            jax.ShapeDtypeStruct((b, rpad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, rpad, 128), jnp.float32),
         ],
         interpret=interpret,
     )(bt_k, bt_v, context_lens, cum, lp, q.reshape(b, r, hq, d), blocks)
     return (
         o.reshape(n, hq, d),
-        m[:, :r].reshape(n, hq),
-        l[:, :r].reshape(n, hq),
+        m[:, :r, :hq].reshape(n, hq),
+        l[:, :r, :hq].reshape(n, hq),
     )
 
 
