@@ -118,6 +118,15 @@ def parse_args():
         help="measurement repeats; best throughput kept (tunnel-noise guard)",
     )
     p.add_argument(
+        "--profile", type=str, default=None, choices=["ceiling", "throughput"],
+        help="kernel-schedule profile (PearlConfig.perf_profile). Default: "
+        "'ceiling' for the noise-free layer-share scenario (bitwise "
+        "acceptance is fp-schedule-sensitive there), 'throughput' when "
+        "--draft-noise or real checkpoints make acceptance "
+        "divergence-driven (mono kernels + deferred verify, ~6%% faster "
+        "rounds at equal MAT)",
+    )
+    p.add_argument(
         "--draft-noise", type=float, default=0.0,
         help="relative gaussian noise applied to the DRAFT's layer weights "
         "in the layer-share scenario: the target keeps the clean weights, "
@@ -272,6 +281,12 @@ def run(args):
         target_kv_quant=args.kv_quant,
         draft_quant=args.quant,
         target_quant=args.quant,
+        perf_profile=args.profile
+        or (
+            "throughput"
+            if (args.draft_noise or args.draft_model) and not args.quick
+            else "ceiling"
+        ),
     )
     t0 = time.perf_counter()
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
@@ -348,6 +363,7 @@ def run(args):
         "gamma": args.gamma,
         "batch": args.batch,
         "scenario": scenario,
+        "profile": cfg.perf_profile,
         "devices": len(set(jax.devices())),
         "backend": jax.default_backend(),
     }

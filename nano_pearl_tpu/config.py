@@ -296,6 +296,19 @@ class PearlConfig:
     # fewer devices than draft_tp+target_tp the groups share devices
     # (still correct; concurrency degrades gracefully).
     devices: object = None
+    # Kernel-schedule profile (full-engine A/B on v5e, 2026-08-20):
+    # - "ceiling": db attention kernels + classic write-then-read verify.
+    #   The fp schedule whose draft-decode/verify logits agree most often
+    #   at IDENTICAL weights — maximizes acceptance in bitwise-ceiling
+    #   scenarios (the layer-share bench: MAT 12.43 vs 11.18/10.1 under
+    #   the alternatives at gamma=14).
+    # - "throughput": mono (grid=1) attention kernels + deferred-write
+    #   verify with the merge-mode fresh attention and windowed-DUS
+    #   writeback — the fastest wall-clock round (~6% higher tok/s at
+    #   realistic acceptance, where MAT is set by genuine model
+    #   divergence, e.g. the noise rows / real model pairs).
+    # NANO_PEARL_MONO / NANO_PEARL_DEFERRED_VERIFY env vars override.
+    perf_profile: str = "ceiling"
 
     draft_config: ModelConfig = field(init=False)
     target_config: ModelConfig = field(init=False)

@@ -41,6 +41,14 @@ class PearlEngine:
         from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        if config.perf_profile == "throughput":
+            # explicit env settings still win (setdefault)
+            os.environ.setdefault("NANO_PEARL_MONO", "1")
+            os.environ.setdefault("NANO_PEARL_DEFERRED_VERIFY", "1")
+        else:
+            assert config.perf_profile == "ceiling", (
+                f"unknown perf_profile {config.perf_profile!r}"
+            )
         draft_mesh, target_mesh = build_group_meshes(
             config.draft_tp, config.target_tp, config.devices, config.placement,
             draft_sp=config.draft_sp, target_sp=config.target_sp,
