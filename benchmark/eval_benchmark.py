@@ -127,6 +127,12 @@ def main():
         seed=args.seed,
         draft_quant=args.quant, target_quant=args.quant,
         draft_kv_quant=args.kv_quant, target_kv_quant=args.kv_quant,
+        # divergence-driven acceptance (real checkpoints / noisy draft)
+        # -> the faster kernel schedule; bitwise layer-share ceiling ->
+        # the acceptance-maximizing one (see PearlConfig.perf_profile)
+        perf_profile=(
+            "throughput" if (args.draft_noise or args.draft_model) else "ceiling"
+        ),
     )
     engine = PearlEngine(config, draft_params=dparams, target_params=tparams)
     rows = load_dataset(args.data_path, args.num_samples)
