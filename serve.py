@@ -330,6 +330,9 @@ def build_engine(args):
         draft_model=draft, target_model=target,
         draft_tp=args.draft_tp, target_tp=args.target_tp,
         max_model_len=args.max_model_len, gamma=args.gamma, seed=args.seed,
+        # real checkpoint pairs have divergence-driven acceptance -> the
+        # faster kernel schedule (see PearlConfig.perf_profile)
+        perf_profile="throughput" if args.draft_model else "ceiling",
     )
     return PearlEngine(cfg, draft_params=dparams, target_params=tparams)
 
