@@ -21,6 +21,15 @@ attention kernels' q/o staging):
 Each probe round-trips slabs HBM->VMEM->HBM and checks the values land
 where expected; timings give the per-DMA cost at bench-shape slab sizes.
 
+Measured (v5e 2026-08-20, WITH the donation fix — the first run forgot
+donate_argnums and measured the 604 MB aliasing copy instead):
+  A strided  [L2,NT,8,HD] dyn dim1: OK, ~14.7 us/window DMA
+  B tile-major [NT,L2,8,HD] dyn dim0: OK, ~10.1 us/window DMA
+Both forms compile and are correct; at 64 windows/round that is
+~0.6-0.9 ms serialized — no better than the windowed-DUS writeback XLA
+emits (ops/kv_cache.write_fresh_windows, ~0.4 ms), so the Pallas slab
+kernel stays unbuilt.
+
 Run on the real chip: python tools/probe_slab_dma.py
 """
 
