@@ -287,6 +287,15 @@ def run(args):
             if (args.draft_noise or args.draft_model) and not args.quick
             else "ceiling"
         ),
+        # quantized-cache programs run ~8x slower per step (the int8
+        # kernels are still the grid-per-block generation): shrink the
+        # work per dispatch so no single device execution approaches the
+        # axon tunnel's ~16 s crash threshold (config.max_dispatch_*)
+        **(
+            {"max_dispatch_rounds": 8, "max_dispatch_steps": 48}
+            if args.kv_quant or args.quant
+            else {}
+        ),
     )
     t0 = time.perf_counter()
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
