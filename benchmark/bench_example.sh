@@ -19,17 +19,26 @@ case "$row" in
     # Acceptance ceiling (target == draft logits bitwise), like the
     # reference's bench.py fixed-step protocol at its best-case MAT.
     exec python bench.py ;;
-  mat20|mat9|mat4)
+  mat9|mat7|mat5)
     # Realistic acceptance: gaussian noise on the draft's layer weights
-    # de-aligns it from the target (MAT ~20 / ~9 / ~4 — the reference's
-    # AIME / HumanEval / CNNDM regimes, docs/bench_summary.md:3-34).
-    declare -A eps=([mat20]=0.02 [mat9]=0.05 [mat4]=0.12)
+    # de-aligns it from the target (HumanEval-like MAT ~9 down to ~5;
+    # the reference's regimes are MAT 24 / 9 / 3.8 for AIME / HumanEval
+    # / CNNDM, docs/bench_summary.md:3-34). Calibration measured on v5e
+    # 2026-08-20 (chiplog/7_noise.log); these rows auto-select the
+    # "throughput" kernel profile.
+    declare -A eps=([mat9]=0.002 [mat7]=0.005 [mat5]=0.01)
     exec python bench.py --draft-noise "${eps[$row]}" ;;
+  mat2g4)
+    # CNNDM-like low acceptance with gamma matched to the regime
+    exec python bench.py --draft-noise 0.02 --gamma 4 ;;
   moe)
     # sparse-MoE pair (Qwen3-MoE-style routing), 8 experts top-2
     exec python bench.py --moe ;;
   int8kv)
-    # INT8 KV cache with in-kernel dequant paged attention
+    # INT8 KV cache with in-kernel dequant paged attention. NOTE: the
+    # q8 kernels are still the grid-per-block generation — expect ~8x
+    # below the bf16 rows at full shapes (README "Known kernel gap");
+    # use --quick for the functional smoke.
     exec python bench.py --kv-quant int8 ;;
   int8w)
     # INT8 weight-only quantization on both models
@@ -41,6 +50,6 @@ case "$row" in
     # continuous-batching goodput under Poisson arrivals
     exec python benchmark/bench_serve.py ;;
   *)
-    echo "usage: $0 [headline|mat20|mat9|mat4|moe|int8kv|int8w|quick|serve]" >&2
+    echo "usage: $0 [headline|mat9|mat7|mat5|mat2g4|moe|int8kv|int8w|quick|serve]" >&2
     exit 2 ;;
 esac
