@@ -45,8 +45,9 @@ class SamplingParams:
     top_p: float = 1.0  # >= 1: disabled
     # per-request stop tokens (beyond the reference): they EXTEND the
     # model's EOS set for this request; ignore_eos (a benchmarking knob)
-    # disables both. Requests with stops take the per-round overlap path
-    # like top_k/top_p (the fused program's stop set is the global EOS).
+    # disables both. Both execution paths honor them — the fused loop
+    # builds a per-request [B, S] stop matrix consumed by the on-device
+    # verdict (engine/pearl._build_fused_state, engine/fused.py).
     stop_token_ids: tuple = ()
 
 
@@ -307,13 +308,21 @@ class PearlConfig:
     #   writeback — the fastest wall-clock round (~6% higher tok/s at
     #   realistic acceptance, where MAT is set by genuine model
     #   divergence, e.g. the noise rows / real model pairs).
-    # NANO_PEARL_MONO / NANO_PEARL_DEFERRED_VERIFY env vars override.
+    # NANO_PEARL_MONO / NANO_PEARL_DEFERRED_VERIFY env vars override
+    # (resolved per GroupRunner at build time; never written back to the
+    # process environment).
     perf_profile: str = "ceiling"
 
     draft_config: ModelConfig = field(init=False)
     target_config: ModelConfig = field(init=False)
 
     def __post_init__(self):
+        if self.perf_profile not in ("ceiling", "throughput"):
+            raise ValueError(
+                f"unknown perf_profile {self.perf_profile!r} "
+                "(expected 'ceiling' or 'throughput')"
+            )
+
         def resolve(m) -> ModelConfig:
             return ModelConfig.from_json(m) if isinstance(m, str) else m
 

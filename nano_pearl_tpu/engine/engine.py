@@ -41,14 +41,10 @@ class PearlEngine:
         from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
-        if config.perf_profile == "throughput":
-            # explicit env settings still win (setdefault)
-            os.environ.setdefault("NANO_PEARL_MONO", "1")
-            os.environ.setdefault("NANO_PEARL_DEFERRED_VERIFY", "1")
-        else:
-            assert config.perf_profile == "ceiling", (
-                f"unknown perf_profile {config.perf_profile!r}"
-            )
+        # perf_profile is resolved per-runner (GroupRunner.__init__) from
+        # config + explicit env overrides — no process-global env
+        # mutation, so engines with different profiles coexist in one
+        # process (profile validation: PearlConfig.__post_init__).
         draft_mesh, target_mesh = build_group_meshes(
             config.draft_tp, config.target_tp, config.devices, config.placement,
             draft_sp=config.draft_sp, target_sp=config.target_sp,

@@ -78,6 +78,24 @@ class GroupRunner:
         self.use_pallas = attention_enabled(
             next(iter(gmesh.mesh.devices.flat)).platform
         )
+        # Kernel-schedule profile (config.PearlConfig.perf_profile),
+        # resolved ONCE here — explicit env vars override, but nothing is
+        # ever written back to os.environ, so engines with different
+        # profiles coexist in one process.
+        import os as _os
+
+        _env_mono = _os.environ.get("NANO_PEARL_MONO")
+        self.use_mono = (
+            (_env_mono == "1")
+            if _env_mono is not None
+            else pcfg.perf_profile == "throughput"
+        )
+        _env_dv = _os.environ.get("NANO_PEARL_DEFERRED_VERIFY")
+        self._deferred_requested = (
+            (_env_dv == "1")
+            if _env_dv is not None
+            else pcfg.perf_profile == "throughput"
+        )
 
         # Disjoint multi-host placement: a controller whose process owns
         # none of this group's devices builds the runner WITHOUT weights
@@ -186,7 +204,7 @@ class GroupRunner:
             self._attn_decode = partial(
                 sp_paged_attention, mesh, scale=self.scale,
                 use_pallas=self.use_pallas,
-            )
+            )  # SP uses the partials kernels (no mono/db split there)
             self._attn_prefill = partial(sp_prefill_attention, mesh, scale=self.scale)
             self._attn_grouped = partial(
                 sp_paged_attention_grouped, mesh, scale=self.scale,
@@ -204,10 +222,13 @@ class GroupRunner:
             )
 
             mesh = gmesh.mesh
-            self._attn_decode = partial(tp_paged_attention, mesh, scale=self.scale)
+            self._attn_decode = partial(
+                tp_paged_attention, mesh, scale=self.scale, mono=self.use_mono
+            )
             self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
             self._attn_grouped = partial(
-                tp_paged_attention_grouped, mesh, scale=self.scale
+                tp_paged_attention_grouped, mesh, scale=self.scale,
+                mono=self.use_mono,
             )
             from nano_pearl_tpu.ops.kv_cache import write_fresh
             from nano_pearl_tpu.parallel.tp_attn import (
@@ -215,7 +236,8 @@ class GroupRunner:
             )
 
             self._grouped_fresh = partial(
-                tp_paged_attention_grouped_fresh, mesh, scale=self.scale
+                tp_paged_attention_grouped_fresh, mesh, scale=self.scale,
+                mono=self.use_mono,
             )
             # jnp scatter writeback (GSPMD partitions it over the cache's
             # tp-sharded trailing dim); see ops/kv_cache.write_fresh for
@@ -224,18 +246,20 @@ class GroupRunner:
             self._kv_write = write_kv
         else:
             self._attn_decode = partial(
-                paged_attention, scale=self.scale, use_pallas=self.use_pallas
+                paged_attention, scale=self.scale, use_pallas=self.use_pallas,
+                mono=self.use_mono,
             )
             self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
             self._attn_grouped = partial(
-                paged_attention_grouped, scale=self.scale, use_pallas=self.use_pallas
+                paged_attention_grouped, scale=self.scale,
+                use_pallas=self.use_pallas, mono=self.use_mono,
             )
             from nano_pearl_tpu.ops.attention import paged_attention_grouped_fresh
             from nano_pearl_tpu.ops.kv_cache import write_fresh
 
             self._grouped_fresh = partial(
                 paged_attention_grouped_fresh, scale=self.scale,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, mono=self.use_mono,
             )
             self._write_fresh = partial(write_fresh, use_pallas=self.use_pallas)
             self._kv_write = write_kv
@@ -293,6 +317,7 @@ class GroupRunner:
                 dtype=jnp.dtype(mcfg.dtype),
                 sharding=kv_cache_sharding(gmesh, mcfg.kv_quant),
                 quant=mcfg.kv_quant,
+                tp=gmesh.tp_size,
             )
             kv_bytes = sum(a.nbytes for a in jax.tree.leaves(self.kv))
             logger.info(
@@ -321,16 +346,18 @@ class GroupRunner:
         # Wall-clock it wins (~1.1 ms/round at bench shapes), but its
         # different fp schedule costs MORE in layer-share bitwise-
         # ceiling acceptance (MAT 12.43 -> 11.18, net -4% headline), so
-        # under Pallas it stays OPT-IN (NANO_PEARL_DEFERRED_VERIFY=1) —
-        # realistic-acceptance workloads where MAT is set by genuine
-        # model divergence are the target. jnp backends keep it on
-        # (same numerics class as their grouped path, suite-tested).
+        # under Pallas it is part of the 'throughput' perf_profile
+        # (NANO_PEARL_DEFERRED_VERIFY overrides; resolved once at init,
+        # see self._deferred_requested) — realistic-acceptance workloads
+        # where MAT is set by genuine model divergence are the target.
+        # jnp backends keep it on (same numerics class as their grouped
+        # path, suite-tested).
         import os as _os
 
         hkv_local = mcfg.num_key_value_heads // gmesh.tp_size
         _deferred_ok_pallas = (
             (hkv_local * mcfg.head_dim) % 128 == 0
-            and _os.environ.get("NANO_PEARL_DEFERRED_VERIFY") == "1"
+            and self._deferred_requested
         )
         self._deferred_verify = (
             self.pp_size == 1
@@ -377,10 +404,17 @@ class GroupRunner:
         if not stats or "bytes_limit" not in stats:
             return _DEFAULT_CPU_BLOCKS
         free = stats["bytes_limit"] * pcfg.hbm_utilization - stats.get("bytes_in_use", 0)
-        per_slot = mcfg.num_key_value_heads * (
-            mcfg.head_dim + 4 if mcfg.kv_quant in ("int8", "fp8") else
-            mcfg.head_dim * jnp.dtype(mcfg.dtype).itemsize
-        )
+        if mcfg.kv_quant in ("int8", "fp8"):
+            from nano_pearl_tpu.ops.kv_cache import kv_scale_stride
+
+            stride = kv_scale_stride(mcfg.num_key_value_heads, self.gmesh.tp_size)
+            # 1-byte values + bf16 strided scales (kv_scale_stride)
+            per_slot = mcfg.num_key_value_heads * (mcfg.head_dim + 2 * stride)
+        else:
+            per_slot = (
+                mcfg.num_key_value_heads * mcfg.head_dim
+                * jnp.dtype(mcfg.dtype).itemsize
+            )
         block_bytes = mcfg.num_hidden_layers * 2 * self.block_size * per_slot
         # cache is sharded over kv heads (tp), blocks (sp) AND layers
         # (pp): global capacity scales with the whole group
@@ -512,7 +546,6 @@ class GroupRunner:
         if not self._deferred_verify:
             if self._verify_rowwise:
                 n = tokens.shape[0]
-                b = n // gamma
                 bt_rows = jnp.repeat(
                     block_tables, gamma, axis=0, total_repeat_length=n
                 )

@@ -28,6 +28,8 @@ Parameter layout (all linear weights stored [in, out] so the forward is
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +38,9 @@ from nano_pearl_tpu.ops.kv_cache import write_kv
 from nano_pearl_tpu.ops.quant import QUANTIZED_LAYER_KEYS, mm, mm_t
 from nano_pearl_tpu.ops.rope import apply_rope, build_rope_table
 from nano_pearl_tpu.ops.sampling import mask_invalid_logits
+
+# Layer-scan unroll factor, captured ONCE at import (see run_layers).
+_SCAN_UNROLL = int(os.environ.get("NANO_PEARL_SCAN_UNROLL", "1"))
 
 
 def _dtype(cfg: ModelConfig):
@@ -270,18 +275,19 @@ def run_layers(
 
     n_layers = jax.tree.leaves(layers)[0].shape[0]
     layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
-    # NANO_PEARL_SCAN_UNROLL=k unrolls k layers per loop step: the
+    # _SCAN_UNROLL (module constant, read once at import from
+    # NANO_PEARL_SCAN_UNROLL) unrolls k layers per loop step: the
     # python-unrolled GEMM stack measured 0.65 ms/forward faster than the
     # rolled scan at bench shapes (tools/probe_verify_breakdown.py
     # sep_unroll vs sep_scan, v5e) — scan-body fixed costs and xs
     # dynamic-slicing. Default 1 (rolled): compile time scales with k on
-    # the remote compiler.
-    import os
-
-    unroll = int(os.environ.get("NANO_PEARL_SCAN_UNROLL", "1"))
+    # the remote compiler. Read ONCE at import so every program compiled
+    # in a process shares one fp schedule (a mid-process env change would
+    # otherwise mix numerically divergent programs via the persistent
+    # compile cache with no record of which was used).
     (x, res, kv_cache), _ = jax.lax.scan(
         layer_step, (x, res, kv_cache), (layers, layer_ids),
-        unroll=min(unroll, n_layers) if unroll > 1 else 1,
+        unroll=min(_SCAN_UNROLL, n_layers) if _SCAN_UNROLL > 1 else 1,
     )
     return x, res, kv_cache
 

@@ -53,12 +53,13 @@ def _gather_kv(cache, layer_idx, block_tables, head_dim):
     s_len = m * bs
     k_off, v_off = global_block_offsets(cache, layer_idx)
     if cache_is_quantized(cache):
+        s_cols = cache["s"].shape[-1]  # Hkv * stride (kv_scale_stride)
         qb = cache["q"].reshape(-1, bs, hkv * d)
-        sb = cache["s"].reshape(-1, bs, hkv)
+        sb = cache["s"].reshape(-1, bs, s_cols)
         kq = qb[block_tables + k_off].reshape(*lead, s_len, hkv * d)
         vq = qb[block_tables + v_off].reshape(*lead, s_len, hkv * d)
-        ks = sb[block_tables + k_off].reshape(*lead, s_len, hkv)
-        vs = sb[block_tables + v_off].reshape(*lead, s_len, hkv)
+        ks = sb[block_tables + k_off].reshape(*lead, s_len, s_cols)
+        vs = sb[block_tables + v_off].reshape(*lead, s_len, s_cols)
         return dequant_rows(kq, ks, d), dequant_rows(vq, vs, d)
     blocks = cache.reshape(-1, bs, hkv * d)
     k = blocks[block_tables + k_off].reshape(*lead, s_len, hkv, d)
@@ -345,7 +346,7 @@ def prefill_prefix_attention_jnp(
 
 def paged_attention_grouped(
     q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group,
-    use_pallas=None,
+    use_pallas=None, mono=None,
 ):
     """Packed-verify attention: ``rows_per_group`` query rows per sequence
     share one block table (reference shape: pearl_model_runner.py:560-588).
@@ -360,7 +361,8 @@ def paged_attention_grouped(
         )
 
         return paged_attention_pallas_grouped(
-            q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group
+            q, cache, layer_idx, group_tables, context_lens, scale,
+            rows_per_group, mono=mono,
         )
     bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
     return paged_attention_jnp(q, cache, layer_idx, bt_rows, context_lens, scale)
@@ -490,16 +492,18 @@ def merge_attn_partials(o1, m1, l1, o2, m2, l2, dtype):
 
 def paged_attention_grouped_fresh(
     q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v,
-    scale, rows_per_group, use_pallas=None,
+    scale, rows_per_group, use_pallas=None, mono=None,
 ):
     """Dispatch the deferred-write packed-verify attention.
 
-    Pallas default ("merge"): the mono cache-partials kernel attends the
-    pre-round cache (uniform per-group context min(ctx, ctx0)) while the
-    R x R fresh window runs as dense XLA ops, merged by (m, l) — the
-    in-kernel per-group fresh update of the "kernel" mode
-    (NANO_PEARL_FRESH_MODE=kernel) costs ~1.5 us x groups x layers of
-    fixed VPU latency (~+1.7 ms/forward at bench shapes)."""
+    Pallas default under the mono schedule ("merge"): the mono
+    cache-partials kernel attends the pre-round cache (uniform per-group
+    context min(ctx, ctx0)) while the R x R fresh window runs as dense
+    XLA ops, merged by (m, l) — the in-kernel per-group fresh update of
+    the "kernel" mode (NANO_PEARL_FRESH_MODE=kernel) costs ~1.5 us x
+    groups x layers of fixed VPU latency (~+1.7 ms/forward at bench
+    shapes). The db schedule (mono off) takes the db fresh kernel — the
+    cache-partials kernel is mono-only."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
@@ -507,7 +511,10 @@ def paged_attention_grouped_fresh(
     if use_pallas:
         import os
 
-        if os.environ.get("NANO_PEARL_FRESH_MODE", "merge") == "merge":
+        from nano_pearl_tpu.ops.pallas.paged_attention import _resolve_mono
+
+        mono = _resolve_mono(mono)
+        if mono and os.environ.get("NANO_PEARL_FRESH_MODE", "merge") == "merge":
             from nano_pearl_tpu.ops.pallas.paged_attention import (
                 paged_attention_pallas_grouped_cache_partials,
             )
@@ -530,7 +537,7 @@ def paged_attention_grouped_fresh(
 
         return paged_attention_pallas_grouped_fresh(
             q, cache, layer_idx, group_tables, context_lens, ctx0,
-            fresh_k, fresh_v, scale, rows_per_group,
+            fresh_k, fresh_v, scale, rows_per_group, mono=mono,
         )
     return paged_attention_grouped_fresh_jnp(
         q, cache, layer_idx, group_tables, context_lens, ctx0,
@@ -538,7 +545,7 @@ def paged_attention_grouped_fresh(
     )
 
 
-def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None):
+def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None, mono=None):
     """Dispatch to the Pallas kernel when enabled, else the jnp path."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
@@ -547,5 +554,7 @@ def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_
     if use_pallas:
         from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
-        return paged_attention_pallas(q, cache, layer_idx, block_tables, context_lens, scale)
+        return paged_attention_pallas(
+            q, cache, layer_idx, block_tables, context_lens, scale, mono=mono
+        )
     return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)

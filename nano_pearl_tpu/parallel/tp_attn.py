@@ -39,13 +39,13 @@ def _cache_spec(cache):
 
 def tp_paged_attention(
     mesh, q, cache, layer_idx, block_tables, context_lens, scale,
-    interpret: bool = False,
+    interpret: bool = False, mono=None,
 ):
     from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
     def body(q, cache, layer_idx, bt, cl):
         return paged_attention_pallas(
-            q, cache, layer_idx, bt, cl, scale, interpret=interpret
+            q, cache, layer_idx, bt, cl, scale, interpret=interpret, mono=mono
         )
 
     return jax.shard_map(
@@ -59,7 +59,7 @@ def tp_paged_attention(
 
 def tp_paged_attention_grouped(
     mesh, q, cache, layer_idx, group_tables, context_lens, scale,
-    rows_per_group, interpret: bool = False,
+    rows_per_group, interpret: bool = False, mono=None,
 ):
     from nano_pearl_tpu.ops.pallas.paged_attention import (
         paged_attention_pallas_grouped,
@@ -68,7 +68,7 @@ def tp_paged_attention_grouped(
     def body(q, cache, layer_idx, bt, cl):
         return paged_attention_pallas_grouped(
             q, cache, layer_idx, bt, cl, scale, rows_per_group,
-            interpret=interpret,
+            interpret=interpret, mono=mono,
         )
 
     return jax.shard_map(
@@ -83,6 +83,7 @@ def tp_paged_attention_grouped(
 def tp_paged_attention_grouped_fresh(
     mesh, q, cache, layer_idx, group_tables, context_lens, ctx0,
     fresh_k, fresh_v, scale, rows_per_group, interpret: bool = False,
+    mono=None,
 ):
     """Deferred-write packed verify under tp: fresh K/V rows are
     head-sharded exactly like the cache's folded head axis."""
@@ -93,7 +94,7 @@ def tp_paged_attention_grouped_fresh(
     def body(q, cache, li, bt, cl, c0, fk, fv):
         return paged_attention_pallas_grouped_fresh(
             q, cache, li, bt, cl, c0, fk, fv, scale, rows_per_group,
-            interpret=interpret,
+            interpret=interpret, mono=mono,
         )
 
     return jax.shard_map(
