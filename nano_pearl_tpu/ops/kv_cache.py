@@ -26,8 +26,31 @@ kernels DMA block slices directly from this layout
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+LANE = 128  # TPU lane width; DMA slabs need lane-aligned minor dims
+
+
+def kv_scale_stride(n_kv_heads: int, tp: int = 1) -> int:
+    """Lane columns reserved per head in the quantized cache's scale
+    array: head ``h``'s scale for a slot lives at column ``h * stride``
+    of an ``[..., BS, Hkv*stride]`` bf16 array. The stride is the
+    smallest value making every TP shard's column count (Hkv/tp * stride)
+    a multiple of the 128-lane tile, so
+
+    - per-page scale slabs are legal Mosaic DMA sources/destinations in
+      the Pallas db/mono kernels (minor dim % 128 == 0), and
+    - the array physically occupies exactly its logical size (an
+      unpadded [..., BS, Hkv] array is tile-PADDED to 128 lanes in HBM
+      anyway — the stride layout stores the same bytes but addressable),
+    - TP sharding over the last axis assigns each shard exactly its own
+      heads' columns (uniform stride).
+    """
+    h_local = max(1, n_kv_heads // max(1, tp))
+    return LANE // math.gcd(h_local, LANE)
 
 
 def make_kv_cache(
@@ -39,6 +62,7 @@ def make_kv_cache(
     dtype=jnp.bfloat16,
     sharding=None,
     quant: str | None = None,
+    tp: int = 1,
 ):
     """Allocate the paged cache (+1 garbage block at index ``num_blocks``).
 
@@ -46,24 +70,30 @@ def make_kv_cache(
 
     ``quant="int8"`` / ``"fp8"`` store K/V as 1-byte values with one
     scale per (slot, head) — half the HBM traffic for the
-    decode-attention gather (north-star KV-cache quantization). The
-    cache is then the pytree
-    {"q": int8|e4m3 [L,2,NB+1,BS,Hkv*D], "s": f32 [L,2,NB+1,BS,Hkv]}.
+    decode-attention reads (north-star KV-cache quantization). The cache
+    is then the pytree
+    {"q": int8|e4m3 [L,2,NB+1,BS,Hkv*D],
+     "s": bf16 [L,2,NB+1,BS,Hkv*stride]} with head ``h``'s scale at
+    column ``h*stride`` (see kv_scale_stride): lane-aligned slabs the
+    Pallas kernels DMA per page alongside the 1-byte values. Scales are
+    bf16 and quantization USES the bf16-rounded scale, so dequant is
+    exact w.r.t. the stored scale.
     """
     from nano_pearl_tpu.ops.quant import quant_storage_dtype
 
     shape = (num_layers, 2, num_blocks + 1, block_size, n_kv_heads * head_dim)
     if quant in ("int8", "fp8"):
         qdt = quant_storage_dtype(quant)
-        s_shape = shape[:-1] + (n_kv_heads,)
+        stride = kv_scale_stride(n_kv_heads, tp)
+        s_shape = shape[:-1] + (n_kv_heads * stride,)
         q_sh = s_sh = None
         if sharding is not None:
             q_sh, s_sh = sharding["q"], sharding["s"]
         q = jnp.zeros(shape, dtype=qdt, device=q_sh) if q_sh else jnp.zeros(shape, qdt)
         s = (
-            jnp.zeros(s_shape, dtype=jnp.float32, device=s_sh)
+            jnp.zeros(s_shape, dtype=jnp.bfloat16, device=s_sh)
             if s_sh
-            else jnp.zeros(s_shape, jnp.float32)
+            else jnp.zeros(s_shape, jnp.bfloat16)
         )
         return {"q": q, "s": s}
     if sharding is not None:
@@ -83,11 +113,15 @@ def cache_kv_dims(layer_cache, head_dim: int) -> tuple[int, int, int]:
 
 
 def dequant_rows(q_rows: jax.Array, s_rows: jax.Array, head_dim: int) -> jax.Array:
-    """int8 gathered rows [..., Hkv*D] * scales [..., Hkv] -> f32
-    [..., Hkv, D] (unfolded for the jnp attention paths)."""
-    hkv = s_rows.shape[-1]
+    """1-byte gathered rows [..., Hkv*D] * strided scales
+    [..., Hkv*stride] -> f32 [..., Hkv, D] (unfolded for the jnp
+    attention paths). Head ``h``'s scale sits at column ``h*stride``
+    (see kv_scale_stride)."""
+    hkv = q_rows.shape[-1] // head_dim
+    stride = s_rows.shape[-1] // hkv
+    s = s_rows.reshape(s_rows.shape[:-1] + (hkv, stride))[..., 0]
     unfolded = q_rows.reshape(q_rows.shape[:-1] + (hkv, head_dim))
-    return unfolded.astype(jnp.float32) * s_rows[..., None]
+    return unfolded.astype(jnp.float32) * s.astype(jnp.float32)[..., None]
 
 
 def write_fresh_jnp(cache, fresh: jax.Array, slots: jax.Array) -> jax.Array:
@@ -257,26 +291,37 @@ def write_kv(
 
         qc, sc = cache["q"], cache["s"]
         bs = qc.shape[3]
+        hkv = k.shape[1]
+        stride = sc.shape[-1] // hkv
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
         k_amax = jnp.max(jnp.abs(kf), axis=-1)  # [N, Hkv]
         v_amax = jnp.max(jnp.abs(vf), axis=-1)
+        # scales round to bf16 BEFORE quantizing, so the stored 1-byte
+        # grid and the stored scale are mutually exact
+        qmax = 127.0 if qc.dtype == jnp.int8 else FP8_MAX
+        k_s = (jnp.maximum(k_amax, 1e-8) / qmax).astype(jnp.bfloat16)
+        v_s = (jnp.maximum(v_amax, 1e-8) / qmax).astype(jnp.bfloat16)
+        k_sf = k_s.astype(jnp.float32)[..., None]
+        v_sf = v_s.astype(jnp.float32)[..., None]
         if qc.dtype == jnp.int8:
-            k_s = jnp.maximum(k_amax, 1e-8) / 127.0
-            v_s = jnp.maximum(v_amax, 1e-8) / 127.0
-            k_q = jnp.clip(jnp.round(kf / k_s[..., None]), -127, 127).astype(jnp.int8)
-            v_q = jnp.clip(jnp.round(vf / v_s[..., None]), -127, 127).astype(jnp.int8)
+            k_q = jnp.clip(jnp.round(kf / k_sf), -127, 127).astype(jnp.int8)
+            v_q = jnp.clip(jnp.round(vf / v_sf), -127, 127).astype(jnp.int8)
         else:  # float8_e4m3fn
-            k_s = jnp.maximum(k_amax, 1e-8) / FP8_MAX
-            v_s = jnp.maximum(v_amax, 1e-8) / FP8_MAX
-            k_q = jnp.clip(kf / k_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
-            v_q = jnp.clip(vf / v_s[..., None], -FP8_MAX, FP8_MAX).astype(qc.dtype)
+            k_q = jnp.clip(kf / k_sf, -FP8_MAX, FP8_MAX).astype(qc.dtype)
+            v_q = jnp.clip(vf / v_sf, -FP8_MAX, FP8_MAX).astype(qc.dtype)
+
+        def strided(s):  # [N, Hkv] -> [N, Hkv*stride], scale at col h*stride
+            return jnp.pad(s[..., None], ((0, 0), (0, 0), (0, stride - 1))).reshape(
+                n, hkv * stride
+            )
+
         qrows = _flat_rows(qc).reshape(-1, qc.shape[-1])  # [(L*2*NB1*BS), Hkv*D]
         srows = _flat_rows(sc).reshape(-1, sc.shape[-1])
         qrows = qrows.at[k_off * bs + slots].set(k_q.reshape(n, -1), mode="drop")
         qrows = qrows.at[v_off * bs + slots].set(v_q.reshape(n, -1), mode="drop")
-        srows = srows.at[k_off * bs + slots].set(k_s, mode="drop")
-        srows = srows.at[v_off * bs + slots].set(v_s, mode="drop")
+        srows = srows.at[k_off * bs + slots].set(strided(k_s), mode="drop")
+        srows = srows.at[v_off * bs + slots].set(strided(v_s), mode="drop")
         return {"q": qrows.reshape(qc.shape), "s": srows.reshape(sc.shape)}
     bs = cache.shape[3]
     rows = cache.reshape(-1, cache.shape[-1])  # [(L*2*NB1*BS), Hkv*D]

@@ -39,22 +39,27 @@ NEG_INF = -1e30
 # --------------------------------------------------------- shared math
 
 
-def _kv_head(arr, kh: int, d: int, scales=None, out_dt=None):
+def _kv_head(arr, kh: int, d: int, scales=None, out_dt=None, num_kv_heads=None):
     """K/V rows for kv head ``kh`` -> [BS, D]. The cache stores the
     (Hkv, D) tail FOLDED into one lane-aligned [BS, Hkv*D] axis (TPU
     tiles the last two dims (8, 128): an unfolded [BS, Hkv, D] tail with
     few kv heads pads the sublane dim 2 -> 8, 4x HBM and 4x DMA
     traffic), so heads are column slices; the unfolded 3D layout is
-    still accepted for fresh-KV operands. With ``scales`` ([BS, Hkv]
-    per-(slot, head) int8/fp8 scales) the head is dequantized here —
-    only the slice actually used, on 2D shapes Mosaic vectorizes."""
+    still accepted for fresh-KV operands. With ``scales`` ([BS,
+    Hkv*stride] per-(slot, head) int8/fp8 scales, head ``h`` at column
+    ``h*stride`` — kv_cache.kv_scale_stride) the head is dequantized
+    here — only the slice actually used, on 2D shapes Mosaic
+    vectorizes."""
     if arr.ndim == 3:
         h = arr[:, kh, :]
     else:
         h = jax.lax.slice(arr, (0, kh * d), (arr.shape[0], (kh + 1) * d))
     if scales is not None:
-        s = jax.lax.slice(scales, (0, kh), (scales.shape[0], kh + 1))  # [BS, 1]
-        h = (h.astype(jnp.float32) * s).astype(out_dt)
+        stride = scales.shape[-1] // num_kv_heads
+        s = jax.lax.slice(
+            scales, (0, kh * stride), (scales.shape[0], kh * stride + 1)
+        )  # [BS, 1]
+        h = (h.astype(jnp.float32) * s.astype(jnp.float32)).astype(out_dt)
     return h
 
 
@@ -75,7 +80,7 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     s_parts = []
     for kh in range(num_kv_heads):
         qh = jax.lax.slice(q, (kh * g, 0), ((kh + 1) * g, d))  # [G, D]
-        kh_blk = _kv_head(k, kh, d, k_scales, q.dtype)  # [BS, D]
+        kh_blk = _kv_head(k, kh, d, k_scales, q.dtype, num_kv_heads)  # [BS, D]
         s_parts.append(
             jax.lax.dot_general(
                 qh, kh_blk,
@@ -97,7 +102,7 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
     pv_parts = []
     for kh in range(num_kv_heads):
         ph = jax.lax.slice(p, (kh * g, 0), ((kh + 1) * g, block_size))  # [G, BS]
-        vh = _kv_head(v, kh, d, v_scales, q.dtype)  # [BS, D]
+        vh = _kv_head(v, kh, d, v_scales, q.dtype, num_kv_heads)  # [BS, D]
         pv_parts.append(
             jax.lax.dot_general(
                 ph, vh,
@@ -133,7 +138,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
     for kh in range(num_kv_heads):
         qh = q[:, kh * g : (kh + 1) * g, :].reshape(r * g, d)
         s = jax.lax.dot_general(
-            qh, _kv_head(k, kh, d, k_scales, q.dtype),
+            qh, _kv_head(k, kh, d, k_scales, q.dtype, num_kv_heads),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R*G, BS]
@@ -152,7 +157,7 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
         ph = jax.lax.slice(p, (kh * r * g, 0), ((kh + 1) * r * g, block_size))
         pv_parts.append(
             jax.lax.dot_general(
-                ph, _kv_head(v, kh, d, v_scales, q.dtype),
+                ph, _kv_head(v, kh, d, v_scales, q.dtype, num_kv_heads),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [R*G, D]
@@ -635,12 +640,20 @@ def _use_mono() -> bool:
     bitwise-ceiling acceptance (engine MAT 12.4 -> ~10 at gamma=14,
     identical weights) — a net headline loss, so the db kernels stay the
     default. Realistic-acceptance scenarios (real model pairs, noise
-    rows) are driven by genuine model divergence instead; flip
-    NANO_PEARL_MONO=1 there. Full A/B: tools/chiplog + bench history
-    2026-08-20."""
+    rows) are driven by genuine model divergence instead; select the
+    'throughput' perf_profile (or NANO_PEARL_MONO=1) there. Full A/B:
+    tools/chiplog + bench history 2026-08-20.
+
+    This env read is only the FALLBACK for direct kernel calls (probes,
+    tests): the engine resolves the schedule from PearlConfig.
+    perf_profile once per runner and passes ``mono=`` explicitly."""
     import os
 
     return os.environ.get("NANO_PEARL_MONO", "0") == "1"
+
+
+def _resolve_mono(mono) -> bool:
+    return _use_mono() if mono is None else bool(mono)
 
 
 # ---------------------------------------------------------- int8 kernels
@@ -718,6 +731,362 @@ def _grouped_kernel_q8(
     @pl.when(m == num_m - 1)
     def _finalize():
         _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+# ---------------------------------------- q8 double-buffered/mono kernels
+#
+# Quantized-cache kernels of the db/mono GENERATION (the round-3 q8
+# kernels above are the first, grid-per-block generation: 512 fixed-cost
+# grid steps/layer at bench shapes made int8 KV *slower* than no
+# speculation — 0.874x vs AR, tools/chiplog/5_kvq.log). These reuse the
+# _db_xstep_loop/_mono_stream machinery: per-chunk manual HBM->VMEM DMAs
+# fetch the 1-byte value pages AND their bf16 scale slabs (lane-aligned
+# [BS, Hkv*stride] pages — kv_cache.kv_scale_stride) with the same
+# cross-step double buffering; dequantization happens per used head in
+# _sr_update/_gr_update. HBM traffic: (1 + 2*stride/D)/2 of the bf16
+# kernels (0.625x at Hkv=8, D=128).
+
+
+def _q8_chunk_dmas(blocks_ref, scales_ref, bt_k_ref, bt_v_ref, g, ci,
+                   kbuf, vbuf, ksbuf, vsbuf, sems4, bs, last_page, ppc):
+    """Value + scale DMAs of one chunk for both K and V pages.
+    ``sems4``: (k_sems, v_sems, ks_sems, vs_sems), each already sliced
+    to this buffer slot."""
+    k_sems, v_sems, ks_sems, vs_sems = sems4
+    return (
+        _chunk_dmas(blocks_ref, bt_k_ref, g, ci, kbuf, k_sems, bs, last_page, ppc)
+        + _chunk_dmas(blocks_ref, bt_v_ref, g, ci, vbuf, v_sems, bs, last_page, ppc)
+        + _chunk_dmas(scales_ref, bt_k_ref, g, ci, ksbuf, ks_sems, bs, last_page, ppc)
+        + _chunk_dmas(scales_ref, bt_v_ref, g, ci, vsbuf, vs_sems, bs, last_page, ppc)
+    )
+
+
+def _kernel_db_q8v2(
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,  # scalar prefetch
+    q_ref,  # [1, Hq, D] VMEM
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM int8/fp8 (manual DMA)
+    scales_ref,  # [L*2*(NB+1), BS, Hkv*stride] HBM bf16 (manual DMA)
+    o_ref,  # [1, Hq, D] VMEM
+    kbuf, vbuf,  # VMEM (2, C*BS, Hkv*D) 1-byte
+    ksbuf, vsbuf,  # VMEM (2, C*BS, Hkv*stride) bf16
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems, ks_sems, vs_sems,  # DMA semaphores (2, C)
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    """Decode over a quantized cache, db schedule (cf. _kernel_db)."""
+    ni = pl.program_id(0)
+    n = pl.num_programs(0)
+    ppc = _pages_per_chunk(block_size)
+    ctx = context_lens_ref[ni]
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def dmas(slot, g, ci):
+        return _q8_chunk_dmas(
+            blocks_ref, scales_ref, bt_k_ref, bt_v_ref, g, ci,
+            kbuf.at[slot], vbuf.at[slot], ksbuf.at[slot], vsbuf.at[slot],
+            (k_sems.at[slot], v_sems.at[slot], ks_sems.at[slot], vs_sems.at[slot]),
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, ni, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        _sr_update(
+            q_ref[0], kbuf[slot], vbuf[slot], ctx, ci * cbs,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+            k_scales=ksbuf[slot], v_scales=vsbuf[slot],
+        )
+
+    _db_xstep_loop(ni, n, cum_ref, start, wait, compute)
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _grouped_kernel_db_q8v2(
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,
+    q_ref,  # [R, Hq, D] VMEM
+    blocks_ref, scales_ref,  # HBM
+    o_ref,  # [R, Hq, D]
+    kbuf, vbuf, ksbuf, vsbuf, m_scr, l_scr, acc_scr,
+    k_sems, v_sems, ks_sems, vs_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    """Packed verify over a quantized cache, db schedule (cf.
+    _grouped_kernel_db)."""
+    bi = pl.program_id(0)
+    nb = pl.num_programs(0)
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    ppc = _pages_per_chunk(block_size)
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def dmas(slot, g, ci):
+        return _q8_chunk_dmas(
+            blocks_ref, scales_ref, bt_k_ref, bt_v_ref, g, ci,
+            kbuf.at[slot], vbuf.at[slot], ksbuf.at[slot], vsbuf.at[slot],
+            (k_sems.at[slot], v_sems.at[slot], ks_sems.at[slot], vs_sems.at[slot]),
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, bi, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        _gr_update(
+            q_ref[...], kbuf[slot], vbuf[slot], ctx_rows, ci * cbs,
+            m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+            k_scales=ksbuf[slot], v_scales=vsbuf[slot],
+        )
+
+    _db_xstep_loop(bi, nb, cum_ref, start, wait, compute)
+    _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
+def _grouped_kernel_db_mono_q8v2(
+    bt_k_ref, bt_v_ref, context_lens_ref, cum_ref, lp_ref,  # scalar prefetch
+    q_hbm,  # [B, R, Hq, D] ANY
+    blocks_ref,  # [L*2*(NB+1), BS, Hkv*D] HBM int8/fp8 (manual DMA)
+    scales_ref,  # [L*2*(NB+1), BS, Hkv*stride] HBM bf16 (manual DMA)
+    o_hbm,  # [B, R, Hq, D] ANY (output)
+    kbuf, vbuf,  # VMEM (2, C*BS, Hkv*D) 1-byte
+    ksbuf, vsbuf,  # VMEM (2, C*BS, Hkv*stride) bf16
+    qbuf, obuf,  # VMEM (2, R, Hq, D)
+    m_scr, l_scr, acc_scr,
+    k_sems, v_sems, ks_sems, vs_sems,  # DMA sems (2, C)
+    q_sems, o_sems,  # DMA sems (2,)
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+    n_groups: int,
+):
+    """Whole-layer (grid=1) quantized decode/verify: the mono stream of
+    _grouped_kernel_db_mono with per-chunk value+scale DMAs."""
+    ppc = _pages_per_chunk(block_size)
+    cbs = ppc * block_size
+
+    def chunk_dmas(slot, g, ci):
+        return _q8_chunk_dmas(
+            blocks_ref, scales_ref, bt_k_ref, bt_v_ref, g, ci,
+            kbuf.at[slot], vbuf.at[slot], ksbuf.at[slot], vsbuf.at[slot],
+            (k_sems.at[slot], v_sems.at[slot], ks_sems.at[slot], vs_sems.at[slot]),
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.start()
+
+    def wait_chunk(slot, g, ci):
+        for dma in chunk_dmas(slot, g, ci):
+            dma.wait()
+
+    def q_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(q_hbm.at[g], qbuf.at[p], q_sems.at[p])
+
+    def o_dma(g):
+        p = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(obuf.at[p], o_hbm.at[g], o_sems.at[p])
+
+    def start_q(g):
+        q_dma(g).start()
+
+    def begin_group(g):
+        @pl.when(g >= 2)
+        def _():
+            o_dma(g - 2).wait()
+
+        q_dma(g).wait()
+        _init_scratch(m_scr, l_scr, acc_scr)
+
+    def compute(slot, g, ci):
+        ctx_rows = [context_lens_ref[g * rows + i] for i in range(rows)]
+        _gr_update(
+            qbuf[jax.lax.rem(g, 2)], kbuf[slot], vbuf[slot], ctx_rows,
+            ci * cbs, m_scr, l_scr, acc_scr,
+            scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+            k_scales=ksbuf[slot], v_scales=vsbuf[slot],
+        )
+
+    def end_group(g):
+        _gr_finalize(obuf.at[jax.lax.rem(g, 2)], l_scr, acc_scr, num_kv_heads)
+        o_dma(g).start()
+
+    _mono_stream(
+        n_groups, cum_ref, start_chunk, wait_chunk, start_q, begin_group,
+        compute, end_group,
+    )
+    o_dma(n_groups - 1).wait()
+    if n_groups >= 2:
+        o_dma(n_groups - 2).wait()
+
+
+def _q8_fastpath_ok(scales, bs: int, hkv: int, d: int) -> bool:
+    """The db/mono q8 kernels need lane-aligned manual DMA slabs: folded
+    values % 128, strided scales % 128, and 1-byte sublane offsets on
+    the 32-row int8 tile."""
+    return (
+        scales is not None
+        and (hkv * d) % 128 == 0
+        and scales.shape[-1] % 128 == 0
+        and bs % 32 == 0
+    )
+
+
+def _mono_call_q8(
+    q4: jax.Array,  # [B, R, Hq, D]
+    blocks: jax.Array,
+    scales: jax.Array,
+    bt_k: jax.Array,  # [B, M] layer-folded
+    bt_v: jax.Array,
+    context_lens: jax.Array,  # [B*R]
+    ctx_max_per_group: jax.Array,  # [B]
+    scale: float,
+    bs: int,
+    hkv: int,
+    interpret: bool = False,
+):
+    b, r, hq, d = q4.shape
+    g = hq // hkv
+    s_cols = scales.shape[-1]
+    cum, lp = _db_chunk_meta(ctx_max_per_group, bs)
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q4
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks
+            pl.BlockSpec(memory_space=pl.ANY),  # scales
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((2, r, hq, d), q4.dtype),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_mono_q8v2, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r, n_groups=b,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, cum, lp, q4, blocks, scales)
+    return out.reshape(b * r, hq, d)
+
+
+def _db_call_q8_grouped(
+    q, blocks, scales, bt_k, bt_v, context_lens, ctx_max_per_group,
+    scale, bs, hkv, rows, interpret=False,
+):
+    n, hq, d = q.shape
+    b = n // rows
+    g = hq // hkv
+    s_cols = scales.shape[-1]
+    cum, lp = _db_chunk_meta(ctx_max_per_group, bs)
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((rows, hq, d), lambda bi, *_: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows, hq, d), lambda bi, *_: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((hkv * rows * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_q8v2, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=rows,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, cum, lp, q, blocks, scales)
+
+
+def _db_call_q8_single(
+    q, blocks, scales, bt_k, bt_v, context_lens, scale, bs, hkv,
+    interpret=False,
+):
+    n, hq, d = q.shape
+    s_cols = scales.shape[-1]
+    cum, lp = _db_chunk_meta(context_lens, bs)
+    ppc = _pages_per_chunk(bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((2, ppc * bs, s_cols), scales.dtype),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+            pltpu.SemaphoreType.DMA((2, ppc)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_db_q8v2, scale=scale, block_size=bs, num_kv_heads=hkv
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, cum, lp, q, blocks, scales)
 
 
 # ----------------------------------------------- partial-output kernels
@@ -925,7 +1294,10 @@ def _cache_parts(cache, layer_idx, tables, head_dim):
     l, _, nb1, bs, hd = arr.shape
     hkv = hd // head_dim
     blocks = arr.reshape(l * 2 * nb1, bs, hd)
-    scales = cache["s"].reshape(l * 2 * nb1, bs, hkv) if quant else None
+    # strided bf16 scales [.., BS, Hkv*stride] (kv_cache.kv_scale_stride)
+    scales = (
+        cache["s"].reshape(l * 2 * nb1, bs, cache["s"].shape[-1]) if quant else None
+    )
     k_off, v_off = global_block_offsets(cache, layer_idx)
     return blocks, scales, tables + k_off, tables + v_off, (bs, hkv, head_dim)
 
@@ -939,6 +1311,7 @@ def paged_attention_pallas_grouped(
     scale: float,
     rows_per_group: int,
     interpret: bool = False,
+    mono: bool | None = None,
 ) -> jax.Array:
     n, hq, d = q.shape
     r = rows_per_group
@@ -955,7 +1328,7 @@ def paged_attention_pallas_grouped(
     ]
 
     if scales is None and (hkv * d) % 128 == 0:
-        if _use_mono():
+        if _resolve_mono(mono):
             # mono kernel: the whole layer is ONE grid step (see the
             # mono section) — removes the ~2.7 us/grid-step fixed cost
             # that dominates the db kernel at decode/verify shapes
@@ -999,8 +1372,22 @@ def paged_attention_pallas_grouped(
             interpret=interpret,
         )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
-    # fallback: BlockSpec-pipelined grid (B, M) kernel (quantized caches,
-    # or Hkv*D not lane-aligned)
+    if _q8_fastpath_ok(scales, bs, hkv, d):
+        # quantized cache on the db/mono machinery: per-chunk value +
+        # scale DMAs, in-update dequantization
+        ctx_max = jnp.max(context_lens.reshape(b, r), axis=1)
+        if _resolve_mono(mono):
+            return _mono_call_q8(
+                q.reshape(b, r, hq, d), blocks, scales, bt_k, bt_v,
+                context_lens, ctx_max, scale, bs, hkv, interpret,
+            )
+        return _db_call_q8_grouped(
+            q, blocks, scales, bt_k, bt_v, context_lens, ctx_max,
+            scale, bs, hkv, r, interpret,
+        )
+
+    # fallback: BlockSpec-pipelined grid (B, M) kernel (misaligned
+    # shapes only)
     def _mi_eff(bi, mi, cl):
         # clamp the table slot to the group's last in-context block: grid
         # steps past the context re-reference the PREVIOUS block index, and
@@ -1029,11 +1416,11 @@ def paged_attention_pallas_grouped(
         )
     else:
         s_k = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda bi, mi, btk, btv, cl: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
         )
         s_v = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda bi, mi, btk, btv, cl: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
         )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
@@ -1468,6 +1855,7 @@ def paged_attention_pallas_grouped_fresh(
     scale: float,
     rows_per_group: int,
     interpret: bool = False,
+    mono: bool | None = None,
 ) -> jax.Array:
     n, hq, d = q.shape
     r = rows_per_group
@@ -1485,7 +1873,7 @@ def paged_attention_pallas_grouped_fresh(
     ctx_max = jnp.max(
         jnp.minimum(context_lens.reshape(b, r), ctx0[:, None]), axis=1
     )
-    if _use_mono():
+    if _resolve_mono(mono):
         return _mono_call_fresh(
             q.reshape(b, r, hq, d), blocks, fk, fv, bt_k, bt_v,
             context_lens, ctx0, ctx_max, scale, bs, hkv, interpret,
@@ -1560,11 +1948,11 @@ def paged_attention_pallas_partials(
         )
     else:
         s_k = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda ni, mi, btk, btv, cl, loc: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
         )
         s_v = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda ni, mi, btk, btv, cl, loc: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
         )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
@@ -1646,11 +2034,11 @@ def paged_attention_pallas_grouped_partials(
         )
     else:
         s_k = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda bi, mi, btk, btv, cl, loc: (btk[bi, _mi_eff(bi, mi, cl)], 0, 0),
         )
         s_v = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda bi, mi, btk, btv, cl, loc: (btv[bi, _mi_eff(bi, mi, cl)], 0, 0),
         )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]
@@ -1697,6 +2085,7 @@ def paged_attention_pallas(
     context_lens: jax.Array,  # [N] int32
     scale: float,
     interpret: bool = False,
+    mono: bool | None = None,
 ) -> jax.Array:
     n, hq, d = q.shape
     m = block_tables.shape[1]
@@ -1710,7 +2099,7 @@ def paged_attention_pallas(
     ]
 
     if scales is None and (hkv * d) % 128 == 0:
-        if _use_mono():
+        if _resolve_mono(mono):
             # mono kernel with one row per group (decode = grouped r=1)
             return _mono_call(
                 q.reshape(n, 1, hq, d), blocks, bt_k, bt_v, context_lens,
@@ -1743,6 +2132,17 @@ def paged_attention_pallas(
             interpret=interpret,
         )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
+    if _q8_fastpath_ok(scales, bs, hkv, d):
+        if _resolve_mono(mono):
+            return _mono_call_q8(
+                q.reshape(n, 1, hq, d), blocks, scales, bt_k, bt_v,
+                context_lens, context_lens, scale, bs, hkv, interpret,
+            )
+        return _db_call_q8_single(
+            q, blocks, scales, bt_k, bt_v, context_lens, scale, bs, hkv,
+            interpret,
+        )
+
     # fallback: BlockSpec-pipelined grid (N, M) kernel
     def _mi_eff(ni, mi, cl):
         # clamped slot -> unchanged block index -> Pallas skips the copy
@@ -1766,11 +2166,11 @@ def paged_attention_pallas(
         )
     else:
         s_k = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda ni, mi, btk, btv, cl: (btk[ni, _mi_eff(ni, mi, cl)], 0, 0),
         )
         s_v = pl.BlockSpec(
-            (1, bs, hkv),
+            (1, bs, scales.shape[-1]),
             lambda ni, mi, btk, btv, cl: (btv[ni, _mi_eff(ni, mi, cl)], 0, 0),
         )
         in_specs = [q_spec, blk_k, s_k, blk_v, s_v]

@@ -79,10 +79,10 @@ def test_paged_attention_pallas_grouped_matches_jnp(rows):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
-def _random_int8_cache(rng, l, nb, bs, hkv, d):
+def _random_int8_cache(rng, l, nb, bs, hkv, d, quant="int8"):
     from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
 
-    cache = make_kv_cache(l, nb, bs, hkv, d, quant="int8")
+    cache = make_kv_cache(l, nb, bs, hkv, d, quant=quant)
     # fill every real slot through the write path (quantize-at-write)
     for li in range(l):
         k = jnp.asarray(rng.standard_normal((nb * bs, hkv, d)).astype(np.float32))
@@ -125,6 +125,62 @@ def test_paged_attention_pallas_grouped_int8_matches_jnp():
         want = paged_attention_jnp(q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125)
         got = paged_attention_pallas_grouped(q, cache, li, bt, ctx, 0.125, rows, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("mono", [False, True])
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_paged_attention_pallas_q8_db_mono_matches_jnp(mono, quant):
+    """db/mono-generation quantized kernels (manual value + scale slab
+    DMAs): bs=32 satisfies the 1-byte sublane tile so the fast path is
+    taken (``_q8_fastpath_ok``), unlike the bs=16 legacy tests above
+    which exercise the BlockSpec fallback."""
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        _q8_fastpath_ok,
+        _cache_parts,
+    )
+
+    rng = np.random.default_rng(31)
+    nb, bs, hkv, hq, d = 6, 32, 2, 8, 64
+    cache = _random_int8_cache(rng, 1, nb, bs, hkv, d, quant=quant)
+    blocks, scales, *_ = _cache_parts(cache, 0, jnp.zeros((1, 1), jnp.int32), d)
+    assert _q8_fastpath_ok(scales, bs, hkv, d)
+    n, m = 4, 4
+    q = jnp.asarray(rng.standard_normal((n, hq, d)).astype(np.float32))
+    bt = jnp.asarray(rng.integers(0, nb, (n, m)).astype(np.int32))
+    ctx = jnp.asarray(rng.integers(1, m * bs + 1, (n,)).astype(np.int32))
+    want = paged_attention_jnp(q, cache, 0, bt, ctx, d**-0.5)
+    got = paged_attention_pallas(
+        q, cache, 0, bt, ctx, d**-0.5, interpret=True, mono=mono
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("mono", [False, True])
+def test_paged_attention_pallas_grouped_q8_db_mono_matches_jnp(mono):
+    from nano_pearl_tpu.ops.pallas.paged_attention import (
+        paged_attention_pallas_grouped,
+    )
+
+    rng = np.random.default_rng(32)
+    nb, bs, hkv, hq, d, rows = 6, 32, 2, 8, 64, 3
+    cache = _random_int8_cache(rng, 2, nb, bs, hkv, d)
+    b, m = 2, 4
+    bt = jnp.asarray(rng.integers(0, nb, (b, m)).astype(np.int32))
+    ctx = np.ones((b, rows), np.int32)
+    ctx[0] = np.arange(60, 60 + rows)  # staircase (post-verify)
+    ctx[1, 0] = 80  # pre-verify: one long row + padding
+    ctx = jnp.asarray(ctx.reshape(-1))
+    q = jnp.asarray(rng.standard_normal((b * rows, hq, d)).astype(np.float32))
+    for li in (0, 1):
+        want = paged_attention_jnp(
+            q, cache, li, jnp.repeat(bt, rows, axis=0), ctx, 0.125
+        )
+        got = paged_attention_pallas_grouped(
+            q, cache, li, bt, ctx, 0.125, rows, interpret=True, mono=mono
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+        )
 
 
 def test_prefill_self_attention_pallas_matches_jnp():
