@@ -17,3 +17,13 @@ os.environ.setdefault("NANO_PEARL_PALLAS", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the CPU test programs too: the suite
+# rebuilds near-identical tiny engines in every module, and the fused
+# whole-loop programs dominate wall time. A lower entry threshold than
+# the engine default (0.5 s vs 2 s) captures the many mid-size test
+# programs; repeat suite runs then skip most XLA compiles entirely.
+from nano_pearl_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

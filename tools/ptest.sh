@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Parallel CPU test runner: shards tests/ across N concurrent pytest
+# processes (the files are independent; each process builds its own
+# 8-virtual-device CPU mesh). With the persistent compile cache
+# (tests/conftest.py) a warm full-suite run completes in a few minutes
+# instead of ~15 (VERDICT round-3 item 10).
+#
+#   tools/ptest.sh            # 3 shards, full suite
+#   tools/ptest.sh -n 4       # 4 shards
+#   tools/ptest.sh -k expr    # extra args forwarded to every shard
+set -u
+cd "$(dirname "$0")/.."
+
+NSHARDS=3
+if [[ "${1:-}" == "-n" ]]; then
+  NSHARDS=$2
+  shift 2
+fi
+
+# Hand-balanced shards (heavy engine/serve/multihost files spread out;
+# measured cold-cache: shard walls 4:51 / 5:42 / 13:58 before this
+# rebalance pulled moe/parity/deferred/tp_attn out of shard 2).
+SHARD_0=(tests/test_engine.py tests/test_pp.py tests/test_fused.py
+  tests/test_stop_tokens.py tests/test_verify.py tests/test_block_manager.py
+  tests/test_scheduler.py tests/test_native.py tests/test_write_fresh_windows.py
+  tests/test_moe.py tests/test_deferred_verify.py)
+SHARD_1=(tests/test_serve.py tests/test_sp.py tests/test_quant.py
+  tests/test_kv_quant.py tests/test_chunked_prefill.py tests/test_topk_topp.py
+  tests/test_tpu_lowering.py tests/test_ops.py tests/test_model_parity.py
+  tests/test_tp_attn.py)
+SHARD_2=(tests/test_multihost.py tests/test_continuous.py tests/test_dp.py
+  tests/test_fuse_proj.py tests/test_fused_filtering.py
+  tests/test_kv_pressure.py tests/test_pallas_kernels.py)
+
+if [[ "$NSHARDS" != 3 ]]; then
+  # generic round-robin over all test files
+  mapfile -t ALL < <(ls tests/test_*.py)
+  for ((i = 0; i < NSHARDS; i++)); do eval "GEN_$i=()"; done
+  for ((i = 0; i < ${#ALL[@]}; i++)); do
+    eval "GEN_$((i % NSHARDS))+=(\"\${ALL[\$i]}\")"
+  done
+fi
+
+pids=()
+logs=()
+for ((i = 0; i < NSHARDS; i++)); do
+  if [[ "$NSHARDS" == 3 ]]; then
+    eval "files=(\"\${SHARD_$i[@]}\")"
+  else
+    eval "files=(\"\${GEN_$i[@]}\")"
+  fi
+  log=$(mktemp /tmp/ptest_shard_${i}_XXXX.log)
+  logs+=("$log")
+  python -m pytest "${files[@]}" -q "$@" >"$log" 2>&1 &
+  pids+=($!)
+done
+
+rc=0
+for ((i = 0; i < NSHARDS; i++)); do
+  wait "${pids[$i]}" || rc=1
+  echo "--- shard $i ---"
+  tail -3 "${logs[$i]}"
+done
+if [[ $rc != 0 ]]; then
+  echo "FAILURES — full logs:"
+  for log in "${logs[@]}"; do
+    grep -l "FAILED\|ERROR" "$log" >/dev/null 2>&1 && cat "$log"
+  done
+fi
+exit $rc
