@@ -198,12 +198,17 @@ def run(args):
         args.vocab = 8192
         args.draft_layers, args.target_layers = 2, 6
         args.steps = 6
-        args.gamma = min(args.gamma, 4)
+        args.gamma = min(args.gamma, 4) if args.gamma > 0 else args.gamma
         args.prompt_len = 16
         args.block_size = 64  # short contexts; big blocks only waste here
 
+    # gamma == -1: acceptance-adaptive gamma (engine profiles a seed
+    # gamma from decode speeds, then adapts to observed acceptance at
+    # chunk boundaries). Window sizing below assumes gamma could reach
+    # the top of the adaptive ladder.
+    gamma_for_sizing = args.gamma if args.gamma > 0 else 16
     if args.ar_max_tokens < 0:
-        args.ar_max_tokens = args.steps * (args.gamma + 1)
+        args.ar_max_tokens = args.steps * (gamma_for_sizing + 1)
 
     if args.cpu:
         import jax
@@ -264,7 +269,7 @@ def run(args):
             scenario += f" noise{args.draft_noise:g}"
     _phase("build pair", t0)
 
-    max_len = max(256, 1 << (args.prompt_len + args.steps * (args.gamma + 1) + 64).bit_length())
+    max_len = max(256, 1 << (args.prompt_len + args.steps * (gamma_for_sizing + 1) + 64).bit_length())
     cfg = PearlConfig(
         draft_model=draft_model,
         target_model=target_model,
@@ -275,6 +280,7 @@ def run(args):
         kvcache_block_size=args.block_size,
         num_kvcache_blocks=args.batch * (max_len // args.block_size) + 8,
         gamma=args.gamma,
+        gamma_profile_batches=(args.batch,) if args.gamma == -1 else None,
         max_num_seqs=max(args.batch, 8),
         seed=args.seed,
         draft_kv_quant=args.kv_quant,
@@ -369,7 +375,7 @@ def run(args):
         "pearl_tok_s": round(pearl_tps, 1),
         "ar_tok_s": round(ar_tps, 1),
         "mat": round(mat, 2),
-        "gamma": args.gamma,
+        "gamma": args.gamma if args.gamma > 0 else f"auto({engine.orchestrator.last_gamma})",
         "batch": args.batch,
         "scenario": scenario,
         "profile": cfg.perf_profile,

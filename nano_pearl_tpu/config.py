@@ -247,6 +247,15 @@ class PearlConfig:
     num_kvcache_blocks: int = -1  # -1: derive from hbm_utilization
     hbm_utilization: float = 0.9
     gamma: int = -1  # -1: auto profile (reference: pearl_config.py:84)
+    # gamma == -1 additionally enables ACCEPTANCE-ADAPTIVE gamma (beyond
+    # the reference): the engine keeps an EWMA estimate of draft/target
+    # agreement from observed committed tokens/round and re-picks gamma
+    # from a throughput model at fused chunk boundaries / overlap rounds
+    # (engine/pearl.py _adapt_gamma). Batch sizes profiled at engine
+    # build for the speed-ratio seed gamma; None = the reference's
+    # (1, 2, 4, 8, 16, 32) ladder. Pass a smaller tuple (e.g. just the
+    # serving batch size) to bound profiling time on remote backends.
+    gamma_profile_batches: tuple | None = None
     seed: int = 0
     dtype: str = "bfloat16"
     # "overlap": per-round host loop, draft/target programs dispatched

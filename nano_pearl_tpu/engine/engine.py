@@ -66,7 +66,12 @@ class PearlEngine:
         # recent completions' (ttft, tpot, e2e) for stats percentiles
         self._lat = deque(maxlen=512)
         if config.gamma == -1:
-            self.orchestrator.auto_set_gamma()
+            if config.gamma_profile_batches:
+                self.orchestrator.auto_set_gamma(
+                    batch_sizes=tuple(config.gamma_profile_batches)
+                )
+            else:
+                self.orchestrator.auto_set_gamma()
         if config.warmup:
             self.warmup(
                 batches=config.warmup if isinstance(config.warmup, tuple) else (1,)

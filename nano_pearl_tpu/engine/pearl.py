@@ -53,6 +53,21 @@ class PearlOrchestrator:
         self._seed_counter = pcfg.seed * 1_000_003
         self._round = 0
         self.gamma_list: dict[int, int] | None = None
+        # Acceptance-adaptive gamma (pcfg.gamma == -1 only; round-3
+        # verdict item 3): the speed-ratio gamma (reference parity,
+        # auto_set_gamma) never reacts to OBSERVED acceptance, so
+        # low-acceptance workloads burn gamma-sized rollbacks every
+        # round. We keep an EWMA estimate of the per-token draft/target
+        # agreement probability p (inverted from committed tokens/round)
+        # and re-pick gamma from a throughput model between fused chunks
+        # / overlap rounds. _speeds: per-batch-size (draft, target)
+        # decode rates from profiling, feeding the model's round-time
+        # term.
+        self._speeds: dict[int, tuple[float, float]] = {}
+        self._p_ewma: float | None = None
+        # Candidate ladder: each gamma is a separately compiled program —
+        # bound the compile surface (persistent cache amortizes).
+        self._gamma_ladder = (1, 2, 3, 4, 6, 8, 10, 12, 14, 16)
         # gamma of the most recent serve_round: bounds the committed
         # stream's unverified tail for token streaming (engine.serve_step
         # with_deltas); 0 until a round has run (post-prefill state is
@@ -393,11 +408,19 @@ class PearlOrchestrator:
             acc, rollout, revise, finish, n_acc = packed
 
         # 8: apply the state machine to both views
+        lens0 = [len(s.target) for s in seqs]
         for i, seq in enumerate(seqs):
             self._apply_verdict(
                 seq, bool(acc[i]), int(rollout[i]), int(revise[i]),
                 bool(finish[i]), int(n_acc[i]), g_toks[i], gamma,
             )
+        if seqs:
+            # feed the adaptive-gamma estimator with this round's mean
+            # committed-token growth (rejections may shrink a stream)
+            delta = float(
+                np.mean([len(s.target) - l0 for s, l0 in zip(seqs, lens0)])
+            )
+            self._note_commit_rate(delta, gamma)
         self._round += 1
 
     def _apply_verdict(self, seq: Sequence, acc: bool, rollout: int, revise: int,
@@ -447,8 +470,78 @@ class PearlOrchestrator:
         b = len(self.scheduler.running)
         for bs in sorted(self.gamma_list):
             if bs >= b:
-                return self.gamma_list[bs]
-        return self.gamma_list[max(self.gamma_list)]
+                return self._adapt_gamma(self.gamma_list[bs])
+        return self._adapt_gamma(self.gamma_list[max(self.gamma_list)])
+
+    # ------------------------------------------- acceptance-adaptive gamma
+
+    @staticmethod
+    def _expected_commit(gamma: int, p: float) -> float:
+        """Long-run committed tokens per PEARL round under per-token
+        agreement probability p: the geometric series 1 + p + ... +
+        p^(gamma-1) (a rejection at position k still commits k accepted
+        tokens plus the revise token; full agreement commits gamma)."""
+        if p >= 0.9999:
+            return float(gamma)
+        return (1.0 - p**gamma) / (1.0 - p)
+
+    def _estimate_p(self, m_obs: float, gamma: int) -> float:
+        """Invert _expected_commit(gamma, .) = m_obs by bisection."""
+        if m_obs >= gamma - 1e-6:
+            return 1.0
+        m_obs = max(m_obs, 0.05)
+        lo, hi = 0.0, 0.99999
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            if self._expected_commit(gamma, mid) < m_obs:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    def _note_commit_rate(self, tokens_per_round: float, gamma: int, rounds: int = 1):
+        """Fold an observed committed-tokens/round sample (over ``rounds``
+        rounds at draft window ``gamma``) into the p EWMA."""
+        if gamma < 1 or rounds < 1:
+            return
+        est = self._estimate_p(tokens_per_round, gamma)
+        a = 1.0 - 0.75 ** min(rounds, 16)  # per-round alpha 0.25
+        self._p_ewma = est if self._p_ewma is None else (
+            (1 - a) * self._p_ewma + a * est
+        )
+
+    def _adapt_gamma(self, base_gamma: int) -> int:
+        """Acceptance-aware gamma from a throughput model: maximize
+        E[committed/round] / T(round). T uses the profiled decode rates
+        (auto_set_gamma): fused (shared devices) rounds are sequential
+        (gamma*t_draft + t_target); overlap rounds run the two groups
+        concurrently (max of the two, plus a fixed-cost term). Hysteresis:
+        switch only on a >=10% modeled gain (each gamma is its own
+        compiled program)."""
+        if self._p_ewma is None or not self._speeds:
+            return base_gamma
+        b = max(1, len(self.scheduler.running))
+        bs = min(self._speeds, key=lambda k: abs(k - b))
+        sd, st = self._speeds[bs]
+        if sd <= 0 or st <= 0:
+            return base_gamma
+        td, tv = 1.0 / sd, 1.0 / st
+        fused = self.fused is not None
+        p = self._p_ewma
+
+        def score(g: int) -> float:
+            t = g * td + tv if fused else max(g * td, tv) + 0.25 * tv
+            return self._expected_commit(g, p) / t
+
+        best = max(self._gamma_ladder, key=score)
+        if score(best) < 1.10 * score(base_gamma):
+            return base_gamma
+        if best != base_gamma:
+            logger.info(
+                f"adaptive gamma: {base_gamma} -> {best} "
+                f"(p_hat {p:.3f}, bs {b})"
+            )
+        return best
 
     def generate_loop(self) -> float:
         """reference: pearl_generate (:414-438). Returns elapsed seconds."""
@@ -461,6 +554,8 @@ class PearlOrchestrator:
             else:
                 while self.scheduler.running:
                     self.pearl_round(gamma)
+                    if self.pcfg.gamma == -1 and self.scheduler.running:
+                        gamma = self._pick_gamma()
             if self.scheduler.waiting:
                 # seats/blocks freed by finished sequences: admit the
                 # overflow (the strict assert guards real no-progress)
@@ -489,6 +584,8 @@ class PearlOrchestrator:
         else:
             for _ in range(num_pearl_steps):
                 self.pearl_round(gamma)
+                if self.pcfg.gamma == -1 and self.scheduler.running:
+                    gamma = self._pick_gamma()
         self._sync()
         elapsed = time.perf_counter() - start
         # acc counters of still-running seqs (reference: :466-468)
@@ -738,6 +835,10 @@ class PearlOrchestrator:
             "seqs": seqs, "state": state, "gamma": gamma,
             "remaining": rounds_bound, "fixed": num_steps is not None,
             "chunk": chunk, "dev_len": None, "stalled": False,
+            # adaptive-gamma bookkeeping: per-chunk committed-token
+            # growth over rows still live at the previous probe
+            "prev_len": np.asarray([len(s.target.token_ids) for s in seqs]),
+            "prev_fin": np.zeros((len(seqs),), bool),
         }
 
     def _reensure_fused(self, run) -> bool:
@@ -813,12 +914,25 @@ class PearlOrchestrator:
     def probe_fused(self, run) -> bool:
         """Host sync on this run's device stream: all rows finished?
         Also snapshots per-row lengths for the next chunk's block
-        re-reservation."""
+        re-reservation, and feeds the adaptive-gamma estimator with the
+        chunk's committed-token rate."""
         fetched = jax.device_get({
-            "finished": run["state"]["finished"], "length": run["state"]["length"],
+            "finished": run["state"]["finished"],
+            "length": run["state"]["length"],
+            "rounds": run["state"].get("rounds_done", np.int32(0)),
         })
         run["dev_len"] = fetched["length"]
         run["dev_fin"] = fetched["finished"]
+        b = len(run["seqs"])
+        rounds = int(fetched["rounds"])
+        live = ~run["prev_fin"]
+        if rounds > 0 and live.any():
+            delta = float(
+                np.mean(fetched["length"][:b][live] - run["prev_len"][live])
+            )
+            self._note_commit_rate(delta / rounds, run["gamma"], rounds)
+        run["prev_len"] = np.asarray(fetched["length"][:b])
+        run["prev_fin"] = np.asarray(fetched["finished"][:b])
         return bool(fetched["finished"].all())
 
     def end_fused(self, run):
@@ -829,16 +943,37 @@ class PearlOrchestrator:
         """Run PEARL to completion (num_steps=None) or for a fixed number
         of rounds, with at most one host sync per chunk. Under KV
         pressure a variable-length run may stall mid-flight: it syncs
-        back and restarts (rescheduling preempts to make room)."""
+        back and restarts (rescheduling preempts to make room).
+
+        With pcfg.gamma == -1 the observed acceptance re-picks gamma at
+        chunk boundaries (_adapt_gamma): a proposed switch ends the run
+        (syncing device state back) and restarts with the new window —
+        fixed-step runs carry their remaining round budget across the
+        switch."""
         while True:
             run = self.start_fused(gamma, num_steps, reserve_steps)
             if run is None:
                 return
+            regamma = None
             while True:
                 done = self.step_fused(run)
-                if done or self.probe_fused(run):
+                finished = self.probe_fused(run)
+                if done or finished:
                     break
+                if self.pcfg.gamma == -1:
+                    g2 = self._adapt_gamma(gamma)
+                    if g2 != gamma:
+                        regamma = g2
+                        break
             self.end_fused(run)
+            if regamma is not None:
+                gamma = regamma
+                self.last_gamma = gamma
+                if num_steps is not None:
+                    num_steps = max(int(run["remaining"]), 0)
+                    if num_steps == 0:
+                        return
+                continue
             if not run["stalled"]:
                 return
 
@@ -1008,6 +1143,7 @@ class PearlOrchestrator:
                 speeds[runner.name] = len(good) / sum(good) if good else 0.0
             speeds["draft"] = float(self._from_draft(np.float64(speeds["draft"])))
             speeds["target"] = float(self._from_target(np.float64(speeds["target"])))
+            self._speeds[bs] = (speeds["draft"], speeds["target"])
             gamma_list[bs] = max(1, round(speeds["draft"] / speeds["target"]))
             logger.info(
                 f"auto-gamma bs={bs}: draft {speeds['draft']:.1f} it/s, "

@@ -30,7 +30,8 @@ SHARD_1=(tests/test_serve.py tests/test_sp.py tests/test_quant.py
   tests/test_tp_attn.py)
 SHARD_2=(tests/test_multihost.py tests/test_continuous.py tests/test_dp.py
   tests/test_fuse_proj.py tests/test_fused_filtering.py
-  tests/test_kv_pressure.py tests/test_pallas_kernels.py)
+  tests/test_kv_pressure.py tests/test_pallas_kernels.py
+  tests/test_adaptive_gamma.py)
 
 if [[ "$NSHARDS" != 3 ]]; then
   # generic round-robin over all test files
