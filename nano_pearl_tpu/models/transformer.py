@@ -47,12 +47,14 @@ def _dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.dtype)
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float, out_dtype=None) -> jax.Array:
     """fp32 rms, cast back before the weight mul — matches both the
-    reference (layernorm.py:17-25) and HF Llama for bitwise parity."""
+    reference (layernorm.py:17-25) and HF Llama for bitwise parity.
+    ``out_dtype`` overrides the cast target (the f32 residual carry
+    passes f32 sums but the GEMM inputs must stay in the model dtype)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+    return (xf * jax.lax.rsqrt(var + eps)).astype(out_dtype or x.dtype) * weight
 
 
 def init_params(cfg: ModelConfig, key: jax.Array, scale: float = 0.02) -> dict:
@@ -172,11 +174,12 @@ def forward(
     x = params["embed"][tokens]  # [N, H] vocab-sharded gather
     rope_rows = rope_table[positions]  # [N, D]
     x, res, kv_cache = run_layers(
-        cfg, params["layers"], kv_cache, x, jnp.zeros_like(x), rope_rows,
-        slots, attn_fn, attn_args, kv_write_fn,
+        cfg, params["layers"], kv_cache, x,
+        jnp.zeros(x.shape, jnp.float32),  # f32 residual carry (layer_step)
+        rope_rows, slots, attn_fn, attn_args, kv_write_fn,
     )
-    final = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
-    hidden = rms_norm(final, params["final_ln"], eps)
+    final = x.astype(jnp.float32) + res
+    hidden = rms_norm(final, params["final_ln"], eps, out_dtype=x.dtype)
     return hidden, kv_cache
 
 
@@ -203,11 +206,19 @@ def run_layers(
     qkv_bias = cfg.qkv_bias
 
     def layer_step(carry, xs):
+        # The residual stream ``res`` rides the scan carry in f32: a bf16
+        # residual carry rounds (x + res) once per layer, which (a) loses
+        # precision with depth and (b) makes logits depend on the LAYER
+        # COUNT even for mathematically-passthrough layers — the
+        # bitwise-acceptance leak at the layer-share ceiling traced to
+        # exactly that one extra rounding (MAT 12.4 instead of 14 at
+        # gamma=14; tools/probe_ceiling_divergence2.py, v5e 2026-08-20).
+        # GEMM inputs are cast back to the model dtype inside rms_norm.
         x, res, cache = carry
         lp, li = xs
 
-        res2 = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
-        h1 = rms_norm(res2, lp["input_ln"], eps)
+        res2 = x.astype(jnp.float32) + res  # f32, exact
+        h1 = rms_norm(res2, lp["input_ln"], eps, out_dtype=x.dtype)
 
         if "wqkv" in lp:
             qkv = mm(h1, lp["wqkv"])
@@ -236,7 +247,12 @@ def run_layers(
         # per-layer dynamic-slice + write-back (which XLA can lower to a
         # whole-cache copy per layer inside the scan)
         cache = kv_write_fn(cache, k, v, slots, li)
-        if getattr(attn_fn, "wants_fresh_kv", False):
+        if getattr(attn_fn, "wants_fresh_and_cache", False):
+            # paged-prefix prefill kernel: fresh K/V in-operand PLUS the
+            # carried cache for the prefix pages (read-only below the
+            # scatter frontier — ops/pallas/prefill_attention)
+            o = attn_fn(q, k, v, cache, li, *attn_args)
+        elif getattr(attn_fn, "wants_fresh_kv", False):
             # prefill self-attention flavors consume the fresh K/V
             # directly: gathering them back out of the just-scattered
             # cache forces XLA to copy the whole cache carry per layer
@@ -246,8 +262,8 @@ def run_layers(
             o = attn_fn(q, cache, li, *attn_args)
         attn_out = mm(o.reshape(-1, n_q * d), lp["wo"])
 
-        res3 = (attn_out.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x.dtype)
-        h2 = rms_norm(res3, lp["post_ln"], eps)
+        res3 = attn_out.astype(jnp.float32) + res2  # f32 residual carry
+        h2 = rms_norm(res3, lp["post_ln"], eps, out_dtype=x.dtype)
         if cfg.is_moe:
             from nano_pearl_tpu.ops.moe import moe_mlp
 

@@ -88,7 +88,9 @@ def pp_forward(
         # pp-varying up front so the chunk scan's carry types are stable
         # (each stage's layer params make the scan output pp-varying)
         x = jax.lax.pcast(params["embed"][tokens], (PP_AXIS,), to="varying")
-        res = jnp.zeros_like(x)
+        res = jax.lax.pcast(  # f32 residual carry, pp-varying like x
+            jnp.zeros(x.shape, jnp.float32), (PP_AXIS,), to="varying"
+        )
         rope_rows = rope_table[positions]
         for s in range(pp):
             active = stage == s
@@ -102,8 +104,8 @@ def pp_forward(
             if s < pp - 1:
                 x = jax.lax.ppermute(x, PP_AXIS, perm)
                 res = jax.lax.ppermute(res, PP_AXIS, perm)
-        final = (x.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
-        hidden = rms_norm(final, params["final_ln"], eps)
+        final = x.astype(jnp.float32) + res
+        hidden = rms_norm(final, params["final_ln"], eps, out_dtype=x.dtype)
         return jax.lax.psum(jnp.where(stage == pp - 1, hidden, 0), PP_AXIS), cache
 
     # stacked layer params + the cache shard their leading (layer) axis
@@ -221,7 +223,7 @@ def pp_gamma_rotate(
             tok_cur = jnp.where(r == 0, toks0_m, tok_in)
             first = stage == 0
             x_in = jnp.where(first, params["embed"][tok_cur].astype(x.dtype), x)
-            res_in = jnp.where(first, jnp.zeros_like(res), res)
+            res_in = jnp.where(first, jnp.zeros_like(res), res)  # res: f32
 
             slot_m = (
                 jnp.take_along_axis(bt_m, (pos_m // block_size)[:, None], axis=1)[:, 0]
@@ -238,8 +240,8 @@ def pp_gamma_rotate(
             )
 
             # the last stage finishes the step: final norm, lm head, greedy
-            final = (x2.astype(jnp.float32) + res2.astype(jnp.float32)).astype(x2.dtype)
-            hidden = rms_norm(final, params["final_ln"], eps)
+            final = x2.astype(jnp.float32) + res2
+            hidden = rms_norm(final, params["final_ln"], eps, out_dtype=x2.dtype)
             nxt = greedy(compute_logits(cfg, params, hidden))  # [mbs]
             emit = valid & (stage == pp - 1)
             cur = jax.lax.dynamic_slice(toks, (rr, start), (1, mbs))
@@ -256,7 +258,9 @@ def pp_gamma_rotate(
 
         (cache, _, _, _, toks), _ = jax.lax.scan(
             tick,
-            (cache, x0, jnp.zeros_like(x0), tok0, toks0),
+            (cache, x0,
+             jax.lax.pcast(jnp.zeros(x0.shape, jnp.float32), (PP_AXIS,), to="varying"),
+             tok0, toks0),
             jnp.arange(ticks, dtype=jnp.int32),
         )
         # toks is only populated on the last stage

@@ -152,8 +152,11 @@ def main():
 
     use_pallas = not args.cpu
 
+    # params/rope/bt are jit ARGUMENTS: closure-captured arrays are
+    # inlined into the HLO as constants (runner.py note) — a captured 6L
+    # model blows the remote-compile payload limit (HTTP 413).
     @jax.jit
-    def decode_fwd(cache, toks, pos, slots, ctx):
+    def decode_fwd(params, rope, bt, cache, toks, pos, slots, ctx):
         hidden, cache2 = forward(
             mc, params, cache, toks, pos, slots, rope,
             partial(paged_attention, scale=scale, use_pallas=use_pallas, mono=False),
@@ -163,7 +166,7 @@ def main():
         return compute_logits(mc, params, hidden)
 
     @jax.jit
-    def verify_fwd(cache, toks, pos, slots, ctx):
+    def verify_fwd(params, rope, bt, cache, toks, pos, slots, ctx):
         hidden, cache2 = forward(
             mc, params, cache, toks, pos, slots, rope,
             partial(
@@ -178,7 +181,7 @@ def main():
     # decode shape: rows are sequence tails at position ctx0-1
     ctx_b = np.full((b,), ctx0, np.int32)
     ld = decode_fwd(
-        cache, jnp.asarray(toks_b), jnp.asarray(pos_b),
+        params, rope, bt, cache, jnp.asarray(toks_b), jnp.asarray(pos_b),
         jnp.asarray(slots_garbage[:b]), jnp.asarray(ctx_b),
     )
     # verify shape: row i*g+0 carries the SAME (token, pos, ctx) as
@@ -188,7 +191,7 @@ def main():
     pos_n = (ctx0 - 1 + np.tile(np.arange(g), (b, 1))).astype(np.int32)
     ctx_n = pos_n + 1
     lv = verify_fwd(
-        cache, jnp.asarray(toks_n.reshape(-1)), jnp.asarray(pos_n.reshape(-1)),
+        params, rope, bt, cache, jnp.asarray(toks_n.reshape(-1)), jnp.asarray(pos_n.reshape(-1)),
         jnp.asarray(slots_garbage), jnp.asarray(ctx_n.reshape(-1)),
     )
     ld_np = np.asarray(ld)
