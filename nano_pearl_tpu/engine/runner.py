@@ -284,6 +284,30 @@ class GroupRunner:
             prefill_prefix_attention_jnp, scale=self.scale
         )
         self._attn_prefill_prefix.wants_fresh_kv = True
+        # Pallas paged-prefix prefill (round-4): flash directly over the
+        # cached pages + the fresh causal window — no [L, B, S_pre, Hkv,
+        # D] prefix pre-gather at all. Single-shard meshes with the
+        # lane-aligned folded head axis and an unquantized cache.
+        self._prefix_kernel_ok = (
+            self.use_pallas
+            and gmesh.tp_size == 1
+            and self.sp_size == 1
+            and self.pp_size == 1
+            and mcfg.kv_quant is None
+            and (mcfg.num_key_value_heads * mcfg.head_dim) % 128 == 0
+        )
+        if self._prefix_kernel_ok:
+            from nano_pearl_tpu.ops.pallas.prefill_attention import (
+                prefill_prefix_attention_pallas,
+            )
+
+            def _prefix_attn(q, k, v, cache, li, bt_pre, nc, nn):
+                return prefill_prefix_attention_pallas(
+                    q, k, v, cache, li, bt_pre, nc, nn, None, self.scale
+                )
+
+            _prefix_attn.wants_fresh_and_cache = True
+            self._attn_prefill_prefix_pallas = _prefix_attn
 
         self.num_blocks = self._decide_num_blocks(pcfg, mcfg) if self.is_local else 0
         if self.sp_size > 1:
@@ -452,11 +476,26 @@ class GroupRunner:
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 
     def _prefill_prefix_impl(self, params, rope, kv, tokens, positions, slots, block_tables, q_positions, sel_rows, num_cached, *, m_pre):
-        """Prefill variant for batches WITH prefix-cache hits: the cached
-        prefix K/V are gathered ONCE before the layer scan (read-only, so
-        the scan's scatters stay in place) and attention merges the
-        prefix and fresh-KV partial softmaxes
+        """Prefill variant for batches WITH prefix-cache hits.
+
+        Pallas path (``self._prefix_kernel_ok``): the paged-prefix flash
+        kernel streams the cached pages straight out of the cache per
+        query tile (ops/pallas/prefill_attention._prefill_prefix_kernel)
+        — KV-sized prefix traffic, zero pre-gather materialization.
+
+        jnp path: the cached prefix K/V are gathered ONCE before the
+        layer scan (read-only, so the scan's scatters stay in place) and
+        attention merges the prefix and fresh-KV partial softmaxes
         (ops/attention.prefill_prefix_attention_jnp)."""
+        if self._prefix_kernel_ok:
+            n_new = jnp.sum(q_positions >= 0, axis=1).astype(jnp.int32)
+            hidden, kv = self._forward(
+                self.cfg, params, kv, tokens, positions, slots, rope,
+                self._attn_prefill_prefix_pallas,
+                (block_tables[:, :m_pre], num_cached, n_new),
+                kv_write_fn=self._kv_write,
+            )
+            return kv, compute_logits(self.cfg, params, hidden[sel_rows])
         pk, pv = gather_prefix_kv(kv, block_tables[:, :m_pre], self.cfg.head_dim)
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,

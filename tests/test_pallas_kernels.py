@@ -237,3 +237,54 @@ def test_prefill_self_attention_pallas_multitile():
     np.testing.assert_allclose(
         np.asarray(got)[real], np.asarray(want)[real], rtol=3e-5, atol=3e-5
     )
+
+
+def test_prefill_prefix_attention_pallas_matches_jnp():
+    """Paged-prefix prefill kernel (round-4): flash over cached pages +
+    causal fresh window == the jnp pre-gather/merge reference, including
+    a no-prefix sequence and a fully-padded sequence."""
+    from nano_pearl_tpu.ops.attention import (
+        gather_prefix_kv,
+        prefill_prefix_attention_jnp,
+    )
+    from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
+    from nano_pearl_tpu.ops.pallas.prefill_attention import (
+        prefill_prefix_attention_pallas,
+    )
+
+    rng = np.random.default_rng(40)
+    l, nb, bs, hkv, d = 2, 8, 16, 2, 64
+    b, lq, hq = 3, 20, 8
+    cache = make_kv_cache(l, nb, bs, hkv, d, dtype=jnp.float32)
+    nfill = 6 * bs
+    for li in range(l):
+        kf = jnp.asarray(rng.standard_normal((nfill, hkv, d)).astype(np.float32))
+        vf = jnp.asarray(rng.standard_normal((nfill, hkv, d)).astype(np.float32))
+        cache = write_kv(cache, kf, vf, jnp.arange(nfill, dtype=jnp.int32), li)
+
+    mpre = 3
+    bt = jnp.asarray((rng.permutation(9) % 6).reshape(b, mpre).astype(np.int32))
+    num_cached = jnp.asarray(np.array([40, 0, 33], np.int32))
+    n_new = np.array([20, 12, 0], np.int32)
+    q = jnp.asarray(rng.standard_normal((b * lq, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b * lq, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b * lq, hkv, d)).astype(np.float32))
+    qpos = np.full((b, lq), -1, np.int32)
+    for i in range(b):
+        qpos[i, : n_new[i]] = int(num_cached[i]) + np.arange(n_new[i])
+    qpos = jnp.asarray(qpos)
+    scale = d**-0.5
+    for li in range(l):
+        pk, pv = gather_prefix_kv(cache, bt, d)
+        want = prefill_prefix_attention_jnp(
+            q, k, v, li, pk, pv, num_cached, qpos, scale
+        )
+        got = prefill_prefix_attention_pallas(
+            q, k, v, cache, li, bt, num_cached, jnp.asarray(n_new), qpos,
+            scale, interpret=True,
+        )
+        real = np.asarray(qpos).reshape(-1) >= 0
+        np.testing.assert_allclose(
+            np.asarray(got)[real], np.asarray(want)[real], rtol=3e-5, atol=3e-5
+        )
+        assert np.isfinite(np.asarray(got)).all()

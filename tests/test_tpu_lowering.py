@@ -203,3 +203,67 @@ def test_lower_kv_writeback(bs, hkv, d, b, r):
         lambda c, f, s: write_fresh_pallas(c, f, s, rows_per_group=r),
         cache, fresh, slots,
     )
+
+
+@pytest.mark.parametrize("bs,hkv,d", [(256, 2, 128), (256, 8, 128), (32, 2, 64)])
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+@pytest.mark.parametrize("mono", [False, True])
+def test_lower_q8_db_mono_kernels(bs, hkv, d, quant, mono):
+    """Round-4 quantized db/mono kernels (manual value + scale DMAs) at
+    bench-like cache geometry; these shapes take the fast path
+    (_q8_fastpath_ok)."""
+    from nano_pearl_tpu.ops.pallas.paged_attention import _q8_fastpath_ok
+
+    hq = hkv * 4
+    cache = make_kv_cache(2, 6, bs, hkv, d, jnp.bfloat16, quant=quant)
+    s_cols = cache["s"].shape[-1]
+    assert _q8_fastpath_ok(
+        jnp.zeros((1, bs, s_cols), jnp.bfloat16), bs, hkv, d
+    )
+    for n, r in ((3, 1), (2, 7)):
+        if r == 1:
+            _lower_tpu(
+                lambda q, c, li, bt, cl: paged_attention_pallas(
+                    q, c, li, bt, cl, SCALE, mono=mono
+                ),
+                jnp.zeros((n, hq, d), jnp.bfloat16), cache, jnp.int32(0),
+                jnp.zeros((n, 4), jnp.int32), jnp.ones((n,), jnp.int32),
+            )
+        else:
+            _lower_tpu(
+                lambda q, c, li, bt, cl: paged_attention_pallas_grouped(
+                    q, c, li, bt, cl, SCALE, rows_per_group=r, mono=mono
+                ),
+                jnp.zeros((n * r, hq, d), jnp.bfloat16), cache, jnp.int32(0),
+                jnp.zeros((n, 4), jnp.int32), jnp.ones((n * r,), jnp.int32),
+            )
+
+
+@pytest.mark.parametrize("bs,hkv,d", [(256, 2, 128), (256, 8, 128), (16, 2, 64)])
+@pytest.mark.parametrize("b,lq", [(1, 256), (3, 40)])
+def test_lower_prefill_prefix(bs, hkv, d, b, lq):
+    """Round-4 paged-prefix prefill kernel (prefix pages streamed from
+    the cache + causal fresh tiles)."""
+    from nano_pearl_tpu.ops.pallas.prefill_attention import (
+        prefill_prefix_attention_pallas,
+    )
+
+    hq = hkv * 4
+    n = b * lq
+    cache = make_kv_cache(2, 8, bs, hkv, d, jnp.bfloat16)
+    args = (
+        jnp.zeros((n, hq, d), jnp.bfloat16),
+        jnp.zeros((n, hkv, d), jnp.bfloat16),
+        jnp.zeros((n, hkv, d), jnp.bfloat16),
+        cache,
+        jnp.int32(0),
+        jnp.zeros((b, 4), jnp.int32),
+        jnp.full((b,), bs, jnp.int32),
+        jnp.full((b,), lq, jnp.int32),
+    )
+    _lower_tpu(
+        lambda q, k, v, c, li, bt, nc, nn: prefill_prefix_attention_pallas(
+            q, k, v, c, li, bt, nc, nn, None, SCALE
+        ),
+        *args,
+    )
