@@ -62,7 +62,20 @@ def apply_top_k_top_p(
 
 
 def greedy(logits: jax.Array) -> jax.Array:
-    """Argmax over the last dim (reference: sampler.py:39-40)."""
+    """Argmax over the last dim (reference: sampler.py:39-40).
+
+    The optimization barrier is load-bearing for PEARL's bitwise
+    acceptance ceiling: without it XLA fuses the lm-head matmul into a
+    streaming matmul+argmax reducer whose contraction schedule differs
+    from the materialized-logits path — the draft's gamma-scan then
+    commits tokens that disagree with the argmax of the very same
+    (bitwise-identical) logits the target verifies against, ~3% of the
+    time on near-tied random-weight logits (measured on v5e,
+    tools/probe_ceiling_divergence2.py: internal-greedy vs
+    emitted-argmax agreement 0.97 with zero top-ties). Forcing the
+    logits to materialize makes every argmax consumer rank the same
+    artifact; verify_verdict does the same on the target side."""
+    logits = jax.lax.optimization_barrier(logits)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 

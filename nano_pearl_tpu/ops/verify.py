@@ -59,6 +59,10 @@ def verify_verdict(
 ) -> VerifyResult:
     b, g, v = logits.shape
     assert g == gamma
+    # materialize the logits before any argmax/reduction so the ranking
+    # matches the draft side's greedy() bit-for-bit (see
+    # ops/sampling.greedy — fused matmul+argmax reducers diverge)
+    logits = jax.lax.optimization_barrier(logits)
     kr, ks = jax.random.split(key)
 
     temps = temperatures[:, None]  # broadcast over the window

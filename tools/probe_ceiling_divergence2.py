@@ -232,6 +232,22 @@ def main():
             flush=True,
         )
 
+    # ---- is the scan's INTERNAL greedy consistent with the argmax of
+    # its own emitted logits? (a mismatch means argmax-in-scan takes a
+    # different numeric/reduction path than the post-hoc argmax)
+    for j in range(3):
+        internal = toks_scan_np[j]
+        post = lscan[j].argmax(-1)
+        ver_am = lver[:, j].argmax(-1)
+        mxv = lscan[j].max(-1, keepdims=True)
+        nties = (lscan[j] == mxv).sum(-1)
+        print(
+            f"  j={j}: internal-greedy==emitted-argmax {np.mean(internal == post):.4f}; "
+            f"emitted-argmax==verify-argmax {np.mean(post == ver_am):.4f}; "
+            f"mean top ties {nties.mean():.2f} max {nties.max()}",
+            flush=True,
+        )
+
     # ---- PREFILL-written K/V: do the 3L and 36L models' prefill
     # programs write bitwise-identical prompt rows at the shared layers?
     dpre = np.asarray(dkv[: args.draft_layers, :, :, :lq]).astype(np.float32)
