@@ -114,6 +114,11 @@ def parse_args():
     )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
+        "--execution-mode", type=str, default="auto",
+        choices=["auto", "fused", "overlap"],
+        help="PearlConfig.execution_mode (overlap = per-round host loop)",
+    )
+    p.add_argument(
         "--repeats", type=int, default=2,
         help="measurement repeats; best throughput kept (tunnel-noise guard)",
     )
@@ -281,6 +286,7 @@ def run(args):
         num_kvcache_blocks=args.batch * (max_len // args.block_size) + 8,
         gamma=args.gamma,
         gamma_profile_batches=(args.batch,) if args.gamma == -1 else None,
+        execution_mode=args.execution_mode,
         max_num_seqs=max(args.batch, 8),
         seed=args.seed,
         draft_kv_quant=args.kv_quant,

@@ -180,10 +180,16 @@ class GroupRunner:
                 f"must divide pp={self.pp_size}"
             )
             self._forward = partial(pp_forward, gmesh.mesh)
-            # attention runs on each stage's local layer chunk inside the
-            # shard_map body; keep the jnp paths there (the Pallas kernels
-            # are a full-mesh GSPMD optimization)
-            self.use_pallas = False
+            # attention runs on each stage's LOCAL layer chunk inside the
+            # partial-manual shard_map body. The Pallas kernels are
+            # layer-chunk-agnostic (layer-folded offsets are computed
+            # from the local cache shard) so pp-only groups keep them;
+            # under pp x tp the tp axis stays GSPMD-auto inside the body,
+            # and GSPMD cannot partition the opaque pallas_call — those
+            # groups keep the jnp paths (head-sharded einsums partition
+            # fine). Round-4: use_pallas no longer forced off for pp.
+            if gmesh.tp_size > 1:
+                self.use_pallas = False
         else:
             self._forward = forward
 
@@ -245,14 +251,17 @@ class GroupRunner:
             self._write_fresh = write_fresh
             self._kv_write = write_kv
         else:
+            # kernels inside a pipeline stage run under a partial-manual
+            # shard_map: their outputs must declare the pp axis varying
+            _vma = frozenset({"pp"}) if self.pp_size > 1 else None
             self._attn_decode = partial(
                 paged_attention, scale=self.scale, use_pallas=self.use_pallas,
-                mono=self.use_mono,
+                mono=self.use_mono, vma=_vma,
             )
             self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
             self._attn_grouped = partial(
                 paged_attention_grouped, scale=self.scale,
-                use_pallas=self.use_pallas, mono=self.use_mono,
+                use_pallas=self.use_pallas, mono=self.use_mono, vma=_vma,
             )
             from nano_pearl_tpu.ops.attention import paged_attention_grouped_fresh
             from nano_pearl_tpu.ops.kv_cache import write_fresh
@@ -274,9 +283,21 @@ class GroupRunner:
             )
         else:
             self._attn_prefill_self = partial(
-                prefill_self_attention, scale=self.scale, use_pallas=self.use_pallas
+                prefill_self_attention, scale=self.scale,
+                use_pallas=self.use_pallas,
+                vma=frozenset({"pp"}) if self.pp_size > 1 else None,
             )
         self._attn_prefill_self.wants_fresh_kv = True
+        if self.pp_size > 1 and self.use_pallas:
+            # Mosaic kernels inside the pp partial-manual body need the
+            # remaining (size-1) tp axis manualized (parallel/pp.py)
+            from nano_pearl_tpu.parallel.pp import manual_tp_attn
+
+            self._attn_decode = manual_tp_attn(gmesh.mesh, self._attn_decode)
+            self._attn_grouped = manual_tp_attn(gmesh.mesh, self._attn_grouped)
+            aps = manual_tp_attn(gmesh.mesh, self._attn_prefill_self)
+            aps.wants_fresh_kv = True
+            self._attn_prefill_self = aps
         # prefix-hit prefill: fresh-KV self-attention merged with a
         # PRE-GATHERED cached prefix (no cache read inside the layer scan
         # either — see _prefill_prefix_impl); plain meshes only

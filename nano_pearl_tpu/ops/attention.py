@@ -216,7 +216,8 @@ def prefill_self_attention_jnp(
 
 
 def prefill_self_attention(
-    q, k, v, layer_idx, block_tables, q_positions, scale, use_pallas=None
+    q, k, v, layer_idx, block_tables, q_positions, scale, use_pallas=None,
+    vma=None,
 ):
     """Dispatch the fresh-KV prefill to the Pallas flash kernel when
     enabled (VMEM-resident flash statistics, no materialized score
@@ -231,7 +232,7 @@ def prefill_self_attention(
         )
 
         return prefill_self_attention_pallas(
-            q, k, v, layer_idx, block_tables, q_positions, scale
+            q, k, v, layer_idx, block_tables, q_positions, scale, vma=vma
         )
     return prefill_self_attention_jnp(
         q, k, v, layer_idx, block_tables, q_positions, scale
@@ -346,7 +347,7 @@ def prefill_prefix_attention_jnp(
 
 def paged_attention_grouped(
     q, cache, layer_idx, group_tables, context_lens, scale, rows_per_group,
-    use_pallas=None, mono=None,
+    use_pallas=None, mono=None, vma=None,
 ):
     """Packed-verify attention: ``rows_per_group`` query rows per sequence
     share one block table (reference shape: pearl_model_runner.py:560-588).
@@ -362,7 +363,7 @@ def paged_attention_grouped(
 
         return paged_attention_pallas_grouped(
             q, cache, layer_idx, group_tables, context_lens, scale,
-            rows_per_group, mono=mono,
+            rows_per_group, mono=mono, vma=vma,
         )
     bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
     return paged_attention_jnp(q, cache, layer_idx, bt_rows, context_lens, scale)
@@ -545,7 +546,7 @@ def paged_attention_grouped_fresh(
     )
 
 
-def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None, mono=None):
+def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None, mono=None, vma=None):
     """Dispatch to the Pallas kernel when enabled, else the jnp path."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
@@ -555,6 +556,7 @@ def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_
         from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
         return paged_attention_pallas(
-            q, cache, layer_idx, block_tables, context_lens, scale, mono=mono
+            q, cache, layer_idx, block_tables, context_lens, scale, mono=mono,
+            vma=vma,
         )
     return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)

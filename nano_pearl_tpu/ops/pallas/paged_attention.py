@@ -36,6 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct with optional varying-manual-axes annotation:
+    kernels called inside a partial-manual shard_map (pipeline stages,
+    parallel/pp.py) must declare their outputs' vma under check_vma."""
+    if vma is not None:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # --------------------------------------------------------- shared math
 
 
@@ -595,6 +604,7 @@ def _mono_call(
     bs: int,
     hkv: int,
     interpret: bool = False,
+    vma=None,
 ):
     b, r, hq, d = q4.shape
     g = hq // hkv
@@ -628,7 +638,7 @@ def _mono_call(
             num_kv_heads=hkv, rows=r, n_groups=b,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        out_shape=_sds((b, r, hq, d), q4.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, cum, lp, q4, blocks)
     return out.reshape(b * r, hq, d)
@@ -959,6 +969,7 @@ def _mono_call_q8(
     bs: int,
     hkv: int,
     interpret: bool = False,
+    vma=None,
 ):
     b, r, hq, d = q4.shape
     g = hq // hkv
@@ -998,7 +1009,7 @@ def _mono_call_q8(
             num_kv_heads=hkv, rows=r, n_groups=b,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        out_shape=_sds((b, r, hq, d), q4.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, cum, lp, q4, blocks, scales)
     return out.reshape(b * r, hq, d)
@@ -1006,7 +1017,7 @@ def _mono_call_q8(
 
 def _db_call_q8_grouped(
     q, blocks, scales, bt_k, bt_v, context_lens, ctx_max_per_group,
-    scale, bs, hkv, rows, interpret=False,
+    scale, bs, hkv, rows, interpret=False, vma=None,
 ):
     n, hq, d = q.shape
     b = n // rows
@@ -1043,14 +1054,14 @@ def _db_call_q8_grouped(
             num_kv_heads=hkv, rows=rows,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, cum, lp, q, blocks, scales)
 
 
 def _db_call_q8_single(
     q, blocks, scales, bt_k, bt_v, context_lens, scale, bs, hkv,
-    interpret=False,
+    interpret=False, vma=None,
 ):
     n, hq, d = q.shape
     s_cols = scales.shape[-1]
@@ -1084,7 +1095,7 @@ def _db_call_q8_single(
             _kernel_db_q8v2, scale=scale, block_size=bs, num_kv_heads=hkv
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, cum, lp, q, blocks, scales)
 
@@ -1312,6 +1323,7 @@ def paged_attention_pallas_grouped(
     rows_per_group: int,
     interpret: bool = False,
     mono: bool | None = None,
+    vma=None,
 ) -> jax.Array:
     n, hq, d = q.shape
     r = rows_per_group
@@ -1335,7 +1347,7 @@ def paged_attention_pallas_grouped(
             return _mono_call(
                 q.reshape(b, r, hq, d), blocks, bt_k, bt_v, context_lens,
                 jnp.max(context_lens.reshape(b, r), axis=1), scale, bs,
-                hkv, interpret,
+                hkv, interpret, vma,
             )
         # double-buffered per-group kernel: grid (B,), manual DMA over
         # the group's ACTUAL context blocks, pipelined ACROSS grid steps
@@ -1368,7 +1380,7 @@ def paged_attention_pallas_grouped(
                 num_kv_heads=hkv, rows=r,
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            out_shape=_sds((n, hq, d), q.dtype, vma),
             interpret=interpret,
         )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
@@ -1379,11 +1391,11 @@ def paged_attention_pallas_grouped(
         if _resolve_mono(mono):
             return _mono_call_q8(
                 q.reshape(b, r, hq, d), blocks, scales, bt_k, bt_v,
-                context_lens, ctx_max, scale, bs, hkv, interpret,
+                context_lens, ctx_max, scale, bs, hkv, interpret, vma,
             )
         return _db_call_q8_grouped(
             q, blocks, scales, bt_k, bt_v, context_lens, ctx_max,
-            scale, bs, hkv, r, interpret,
+            scale, bs, hkv, r, interpret, vma,
         )
 
     # fallback: BlockSpec-pipelined grid (B, M) kernel (misaligned
@@ -1439,7 +1451,7 @@ def paged_attention_pallas_grouped(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, *inputs)
 
@@ -2086,6 +2098,7 @@ def paged_attention_pallas(
     scale: float,
     interpret: bool = False,
     mono: bool | None = None,
+    vma=None,
 ) -> jax.Array:
     n, hq, d = q.shape
     m = block_tables.shape[1]
@@ -2103,7 +2116,7 @@ def paged_attention_pallas(
             # mono kernel with one row per group (decode = grouped r=1)
             return _mono_call(
                 q.reshape(n, 1, hq, d), blocks, bt_k, bt_v, context_lens,
-                context_lens, scale, bs, hkv, interpret,
+                context_lens, scale, bs, hkv, interpret, vma,
             )
         # double-buffered per-row kernel (see paged_attention_pallas_grouped)
         cum, lp = _db_chunk_meta(context_lens, bs)
@@ -2128,7 +2141,7 @@ def paged_attention_pallas(
                 _kernel_db, scale=scale, block_size=bs, num_kv_heads=hkv
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+            out_shape=_sds((n, hq, d), q.dtype, vma),
             interpret=interpret,
         )(bt_k, bt_v, context_lens, cum, lp, q, blocks)
 
@@ -2136,11 +2149,11 @@ def paged_attention_pallas(
         if _resolve_mono(mono):
             return _mono_call_q8(
                 q.reshape(n, 1, hq, d), blocks, scales, bt_k, bt_v,
-                context_lens, context_lens, scale, bs, hkv, interpret,
+                context_lens, context_lens, scale, bs, hkv, interpret, vma,
             )
         return _db_call_q8_single(
             q, blocks, scales, bt_k, bt_v, context_lens, scale, bs, hkv,
-            interpret,
+            interpret, vma,
         )
 
     # fallback: BlockSpec-pipelined grid (N, M) kernel
@@ -2189,6 +2202,6 @@ def paged_attention_pallas(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, *inputs)

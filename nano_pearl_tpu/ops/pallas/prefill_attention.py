@@ -132,6 +132,7 @@ def prefill_self_attention_pallas(
     q_positions: jax.Array,  # [B, Lq] int32 absolute positions; -1 = padded
     scale: float,
     interpret: bool = False,
+    vma=None,
 ) -> jax.Array:
     b, lq = q_positions.shape
     n, hq, d = q.shape
@@ -184,7 +185,11 @@ def prefill_self_attention_pallas(
             _prefill_self_kernel, scale=scale, tq=tile, tk=tile, num_kv_heads=hkv
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, lpad, hq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lpad, hq, d), q.dtype, vma=frozenset(vma))
+            if vma is not None
+            else jax.ShapeDtypeStruct((b, lpad, hq, d), q.dtype)
+        ),
         interpret=interpret,
     )(qb, kb, vb, kpos[:, None, :])
     return out[:, :lq].reshape(n, hq, d)

@@ -276,3 +276,28 @@ def pp_gamma_rotate(
         axis_names={PP_AXIS},  # check_vma stays ON (see pp_forward)
     )(params, kv_cache, tokens, positions, block_tables, context_lens, rope_table)
     return toks[:, :b], kv_cache
+
+
+def manual_tp_attn(mesh, fn):
+    """Wrap an attention callable for use INSIDE the pp partial-manual
+    shard_map body: the tp axis there is still GSPMD-auto and Mosaic
+    kernels refuse auto axes ("cannot be automatically partitioned"), so
+    the wrapper manualizes it around the kernel call. pp x tp>1 keeps
+    the jnp attention paths (engine/runner gates use_pallas off), so tp
+    is size 1 here and every operand is trivially replicated over it."""
+    assert mesh.shape["tp"] == 1, "manual_tp_attn is a pp-with-tp==1 shim"
+
+    def wrapped(*args, **kw):
+        from functools import partial as _partial
+
+        f = _partial(fn, **kw) if kw else fn  # static kwargs (rows_per_group)
+        specs = jax.tree.map(lambda _: P(), args)
+        # mesh omitted: the nested shard_map picks up the CONTEXT mesh
+        # (pp already manual) — passing the concrete mesh would clash
+        # with its Manual axis types
+        return jax.shard_map(
+            f, in_specs=specs, out_specs=P(),
+            axis_names={"tp"}, check_vma=False,
+        )(*args)
+
+    return wrapped

@@ -267,3 +267,68 @@ def test_lower_prefill_prefix(bs, hkv, d, b, lq):
         ),
         *args,
     )
+
+
+def test_lower_pp_pallas_decode_and_verify():
+    """Round-4: Pallas kernels inside a pipeline stage's partial-manual
+    shard_map body (pp > 1, tp == 1) lower for TPU — decode and
+    grouped-verify flavors via the manual_tp_attn shim."""
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_model_config
+
+    from nano_pearl_tpu.models.transformer import init_params, make_rope_table
+    from nano_pearl_tpu.ops.attention import paged_attention, paged_attention_grouped
+    from nano_pearl_tpu.parallel.pp import manual_tp_attn, pp_forward
+    from nano_pearl_tpu.parallel.sharding import kv_cache_spec, param_specs
+
+    cfg = tiny_model_config(
+        num_hidden_layers=4, head_dim=128, hidden_size=512,
+        num_attention_heads=4, num_key_value_heads=2, dtype="bfloat16",
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("pp", "tp"))
+    params = init_params(cfg, jax.random.key(0))
+    rope = make_rope_table(cfg)
+    kv = make_kv_cache(4, 7, 16, 2, 128, dtype=jnp.bfloat16)
+    shard = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    params_pp = jax.tree.map(
+        shard, params, param_specs(cfg, pp=True), is_leaf=lambda x: isinstance(x, P)
+    )
+    kv_pp = shard(kv, kv_cache_spec(pp=True))
+    n, m, r = 6, 4, 3
+    vma = frozenset({"pp"})
+    flavors = [
+        (
+            manual_tp_attn(
+                mesh,
+                partial(paged_attention, scale=0.1, use_pallas=True, mono=False, vma=vma),
+            ),
+            (jnp.zeros((n, m), jnp.int32), jnp.ones((n,), jnp.int32)),
+            n,
+        ),
+        (
+            manual_tp_attn(
+                mesh,
+                partial(
+                    paged_attention_grouped, scale=0.1, use_pallas=True,
+                    mono=False, vma=vma, rows_per_group=r,
+                ),
+            ),
+            (jnp.zeros((n // r, m), jnp.int32), jnp.ones((n,), jnp.int32)),
+            n,
+        ),
+    ]
+    for attn, attn_args, rows in flavors:
+        f = lambda p, c, t, pos, s, rt: pp_forward(
+            mesh, cfg, p, c, t, pos, s, rt, attn, attn_args
+        )
+        args = (
+            params_pp, kv_pp, jnp.zeros((rows,), jnp.int32),
+            jnp.zeros((rows,), jnp.int32), jnp.zeros((rows,), jnp.int32), rope,
+        )
+        jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
