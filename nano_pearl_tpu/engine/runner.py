@@ -192,6 +192,22 @@ class GroupRunner:
                 self.use_pallas = False
         else:
             self._forward = forward
+        if mcfg.is_moe and gmesh.ep_size > 1:
+            # EP-sharded ragged MoE dispatch needs the mesh (shard_map
+            # over the ep axis, ops/moe.moe_mlp_ep); bind it once so
+            # every program builder below is agnostic
+            from nano_pearl_tpu.ops.moe import moe_mlp_ep
+
+            _mesh = gmesh.mesh
+
+            def _moe_fn(h2, lp):
+                return moe_mlp_ep(
+                    _mesh, h2, lp["router"], lp["wgate"], lp["wup"],
+                    lp["wdown"], mcfg.num_experts_per_tok,
+                    mcfg.norm_topk_prob, mcfg.valid_num_experts,
+                )
+
+            self._forward = partial(self._forward, moe_fn=_moe_fn)
 
         # Sequence parallelism: sp-sharded KV + shard_map attention
         # (parallel/sp.py); plain paths otherwise. The attention flavor

@@ -156,6 +156,7 @@ def forward(
     attn_fn,  # static: (q [N,Hq,D], cache, layer_idx, *attn_args) -> o [N,Hq,D]
     attn_args: tuple,  # traced attention metadata (block tables, lens, ...)
     kv_write_fn=write_kv,  # static; sequence-parallel groups localize writes (parallel/sp.py)
+    moe_fn=None,  # static; mesh-aware MoE dispatch (EP ragged, ops/moe.moe_mlp_ep)
 ) -> tuple[jax.Array, jax.Array]:
     """Run the decoder stack; returns (hidden [N, H], updated kv_cache).
 
@@ -176,7 +177,7 @@ def forward(
     x, res, kv_cache = run_layers(
         cfg, params["layers"], kv_cache, x,
         jnp.zeros(x.shape, jnp.float32),  # f32 residual carry (layer_step)
-        rope_rows, slots, attn_fn, attn_args, kv_write_fn,
+        rope_rows, slots, attn_fn, attn_args, kv_write_fn, moe_fn,
     )
     final = x.astype(jnp.float32) + res
     hidden = rms_norm(final, params["final_ln"], eps, out_dtype=x.dtype)
@@ -194,6 +195,7 @@ def run_layers(
     attn_fn,
     attn_args: tuple,
     kv_write_fn=write_kv,
+    moe_fn=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The decoder-layer scan of ``forward``, factored so pipeline
     parallelism (parallel/pp.py) can run one stage's layer CHUNK: the
@@ -265,16 +267,22 @@ def run_layers(
         res3 = attn_out.astype(jnp.float32) + res2  # f32 residual carry
         h2 = rms_norm(res3, lp["post_ln"], eps, out_dtype=x.dtype)
         if cfg.is_moe:
-            from nano_pearl_tpu.ops.moe import moe_mlp
+            if moe_fn is not None:
+                # mesh-aware dispatch bound by the runner (EP-sharded
+                # ragged path, ops/moe.moe_mlp_ep)
+                mlp_out = moe_fn(h2, lp)
+            else:
+                from nano_pearl_tpu.ops.moe import moe_mlp
 
-            mlp_out = moe_mlp(
-                h2, lp["router"], lp["wgate"], lp["wup"], lp["wdown"],
-                cfg.num_experts_per_tok, cfg.norm_topk_prob,
-                cfg.valid_num_experts,
-                # ragged dispatch needs global group_sizes: ep shards
-                # would each need only their local segments (future work)
-                allow_ragged=cfg.ep_size == 1,
-            )
+                mlp_out = moe_mlp(
+                    h2, lp["router"], lp["wgate"], lp["wup"], lp["wdown"],
+                    cfg.num_experts_per_tok, cfg.norm_topk_prob,
+                    cfg.valid_num_experts,
+                    # the mesh-free ragged dispatch needs global
+                    # group_sizes: ep > 1 without a bound moe_fn falls
+                    # back to dense dispatch
+                    allow_ragged=cfg.ep_size == 1,
+                )
         elif "wgu" in lp:
             gu = mm(h2, lp["wgu"])
             f = gu.shape[-1] // 2

@@ -115,23 +115,135 @@ def _moe_mlp_ragged(
     valid_num_experts,
 ):
     """Sorted ragged dispatch (prefill): top_k*N rows through the expert
-    FFNs instead of E*N, exact routing (no capacity drop)."""
+    FFNs instead of E*N, exact routing (no capacity drop).
+
+    Dispatch (x rows -> sorted rows) and combine (sorted outputs ->
+    gate-weighted token sums) are ONE-HOT MATMULS, not gather / scatter-
+    add: inside real TPU programs row gathers and scatter-adds lower to
+    ~80 ns/ROW paths (the original .at[ts].add combine measured ~2.6 ms
+    per 36L verify round at bench shapes — see the write_fresh history,
+    ops/kv_cache.py), while the [S, N] selection matmuls are microseconds
+    of MXU work (S = top_k*N)."""
     n, h = x.shape
     e = router_logits.shape[1]
     vals, idx = _route_topk(router_logits, top_k, norm_topk_prob, valid_num_experts)
-    e_flat = idx.reshape(-1)  # [N*k]
+    e_flat = idx.reshape(-1)  # [S = N*k]
+    s = e_flat.shape[0]
     tok_flat = jnp.repeat(jnp.arange(n, dtype=jnp.int32), top_k)
     order = jnp.argsort(e_flat)
     ts = tok_flat[order]  # source token of sorted row
     ws = vals.reshape(-1)[order]  # gate weight of sorted row
     group_sizes = jnp.bincount(e_flat, length=e).astype(jnp.int32)
-    xg = x[ts]  # [N*k, H]
+    # dispatch: xg[s] = x[ts[s]]  ==  D @ x with D[s, n] = (ts[s] == n)
+    tok_iota = jnp.arange(n, dtype=jnp.int32)
+    disp = (ts[:, None] == tok_iota[None, :]).astype(x.dtype)  # [S, N]
+    xg = disp @ x  # [S, H]
     g = jax.lax.ragged_dot(xg, wgate, group_sizes)
     u = jax.lax.ragged_dot(xg, wup, group_sizes)
     a = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
-    o = jax.lax.ragged_dot(a, wdown, group_sizes)  # [N*k, H]
-    out = jnp.zeros((n, h), jnp.float32).at[ts].add(
-        o.astype(jnp.float32) * ws[:, None]
+    o = jax.lax.ragged_dot(a, wdown, group_sizes)  # [S, H]
+    # combine: out[n] = sum_s [ts[s] == n] * ws[s] * o[s]  ==  C @ o
+    comb = jnp.where(
+        ts[None, :] == tok_iota[:, None], ws[None, :], 0.0
+    )  # [N, S] f32
+    out = jax.lax.dot_general(
+        comb, o.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
+def moe_mlp_ep(
+    mesh,
+    x: jax.Array,  # [N, H] (replicated over ep)
+    router_w: jax.Array,  # [H, E]
+    wgate,  # [E, H, F], E sharded over the ep mesh axis
+    wup,
+    wdown,
+    top_k: int,
+    norm_topk_prob: bool,
+    valid_num_experts: int | None = None,
+    allow_ragged: bool = True,
+) -> jax.Array:
+    """EP-sharded MoE block with RAGGED dispatch (round-4; previously
+    ragged required ep == 1 because group_sizes are global and GSPMD
+    cannot shard a ragged_dot's group axis).
+
+    Mechanics: routing, the global expert-sort and the one-hot
+    dispatch/combine matmuls are replicated; a shard_map over the ep
+    axis gives each shard its contiguous SEGMENT of the sorted rows —
+    rows are rolled so the segment starts at 0, a phantom zero-weight
+    expert absorbs the other shards' rows (ragged_dot group sizes must
+    cover every row), and the rolled-back outputs psum over ep (each
+    row's FFN output comes from exactly one shard; the rest contribute
+    zeros). The per-expert F axis stays GSPMD-auto (tp). Small batches
+    and quantized experts take the dense-dispatch path (moe_mlp)."""
+    from jax.sharding import PartitionSpec as P
+
+    from nano_pearl_tpu.parallel.mesh import EP_AXIS
+
+    n, h = x.shape
+    ep = mesh.shape.get(EP_AXIS, 1)
+    if (
+        ep == 1
+        or not allow_ragged
+        or n < _RAGGED_MIN_ROWS
+        or is_quantized(wgate)
+        or is_quantized(wup)
+        or is_quantized(wdown)
+    ):
+        return moe_mlp(
+            x, router_w, wgate, wup, wdown, top_k, norm_topk_prob,
+            valid_num_experts, allow_ragged=allow_ragged and ep == 1,
+        )
+    router_logits = x @ router_w
+    e = router_logits.shape[1]
+    e_local = e // ep
+    vals, idx = _route_topk(router_logits, top_k, norm_topk_prob, valid_num_experts)
+    e_flat = idx.reshape(-1)  # [S]
+    s = e_flat.shape[0]
+    tok_flat = jnp.repeat(jnp.arange(n, dtype=jnp.int32), top_k)
+    order = jnp.argsort(e_flat)
+    ts = tok_flat[order]
+    ws = vals.reshape(-1)[order]
+    group_sizes = jnp.bincount(e_flat, length=e).astype(jnp.int32)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
+    )  # [E+1]
+    tok_iota = jnp.arange(n, dtype=jnp.int32)
+    disp = (ts[:, None] == tok_iota[None, :]).astype(x.dtype)  # [S, N]
+    xg = disp @ x  # [S, H] replicated
+
+    def body(xg, group_sizes, cum, wg, wu, wd):
+        k = jax.lax.axis_index(EP_AXIS)
+        start = cum[k * e_local]
+        seg = cum[(k + 1) * e_local] - start
+        sizes_local = jax.lax.dynamic_slice(group_sizes, (k * e_local,), (e_local,))
+        gs = jnp.concatenate([sizes_local, (s - seg)[None]])  # + phantom
+        xr = jnp.roll(xg, -start, axis=0)
+        zpad = lambda w: jnp.concatenate([w, jnp.zeros_like(w[:1])], axis=0)
+        g = jax.lax.ragged_dot(xr, zpad(wg), gs)
+        u = jax.lax.ragged_dot(xr, zpad(wu), gs)
+        a = jax.nn.silu(g.astype(jnp.float32)).astype(xg.dtype) * u
+        o = jax.lax.ragged_dot(a, zpad(wd), gs)  # [S, H]; non-local rows 0
+        o = jnp.roll(o, start, axis=0)
+        return jax.lax.psum(o, EP_AXIS)
+
+    ep_spec = P(EP_AXIS)
+    o = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), ep_spec, ep_spec, ep_spec),
+        out_specs=P(),
+        axis_names={EP_AXIS},
+        check_vma=False,
+    )(xg, group_sizes, cum, wgate, wup, wdown)
+    comb = jnp.where(ts[None, :] == tok_iota[:, None], ws[None, :], 0.0)
+    out = jax.lax.dot_general(
+        comb, o.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
 

@@ -75,6 +75,7 @@ def pp_forward(
     attn_fn,
     attn_args: tuple,
     kv_write_fn=write_kv,
+    moe_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ``models.transformer.forward`` on a
     ``("pp", "tp")`` group mesh (tests/test_pp.py asserts parity)."""
@@ -97,7 +98,7 @@ def pp_forward(
             x2, res2, cache = run_layers(
                 cfg, params["layers"], cache, x, res, rope_rows,
                 jnp.where(active, slots, _VOID_SLOT),
-                attn_fn, attn_args, kv_write_fn,
+                attn_fn, attn_args, kv_write_fn, moe_fn,
             )
             x = jnp.where(active, x2, x)
             res = jnp.where(active, res2, res)

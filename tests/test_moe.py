@@ -272,3 +272,53 @@ def test_moe_weight_quant_engine_runs():
     cfg = tiny_pearl_config(target=tiny_moe_config(), target_quant="int8")
     pearl, ar = _generate(cfg, PROMPTS[:1], max_tokens=12)
     assert pearl == ar  # same quantized weights both paths -> lossless
+
+
+def test_moe_mlp_ep_ragged_matches_dense():
+    """Round-4 EP-sharded RAGGED dispatch (ops/moe.moe_mlp_ep): on an
+    ep=2 virtual mesh, the shard_map segment/phantom-expert path must
+    reproduce the dense-dispatch output (same exact routing)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nano_pearl_tpu.ops.moe import moe_mlp, moe_mlp_ep
+
+    rng = np.random.default_rng(7)
+    n, h, e, f, k = 160, 64, 6, 96, 2  # n >= _RAGGED_MIN_ROWS
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    rw = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
+    wg = jnp.asarray(rng.standard_normal((e, h, f)).astype(np.float32) * 0.05)
+    wu = jnp.asarray(rng.standard_normal((e, h, f)).astype(np.float32) * 0.05)
+    wd = jnp.asarray(rng.standard_normal((e, f, h)).astype(np.float32) * 0.05)
+    want = np.asarray(moe_mlp(x, rw, wg, wu, wd, k, True))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("ep", "tp"))
+    eshard = NamedSharding(mesh, P("ep"))
+    wg_s, wu_s, wd_s = (jax.device_put(w, eshard) for w in (wg, wu, wd))
+    got = np.asarray(
+        jax.jit(
+            lambda x, rw, a, b, c: moe_mlp_ep(mesh, x, rw, a, b, c, k, True)
+        )(x, rw, wg_s, wu_s, wd_s)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_mlp_ep_small_batch_falls_back_dense():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from nano_pearl_tpu.ops.moe import moe_mlp, moe_mlp_ep
+
+    rng = np.random.default_rng(8)
+    n, h, e, f, k = 8, 64, 4, 96, 2  # below _RAGGED_MIN_ROWS
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    rw = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
+    wg = jnp.asarray(rng.standard_normal((e, h, f)).astype(np.float32) * 0.05)
+    wu = jnp.asarray(rng.standard_normal((e, h, f)).astype(np.float32) * 0.05)
+    wd = jnp.asarray(rng.standard_normal((e, f, h)).astype(np.float32) * 0.05)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("ep", "tp"))
+    want = np.asarray(moe_mlp(x, rw, wg, wu, wd, k, True))
+    got = np.asarray(moe_mlp_ep(mesh, x, rw, wg, wu, wd, k, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
