@@ -223,16 +223,22 @@ class GroupRunner:
             )
 
             mesh = gmesh.mesh
+            # pp x sp composition (round-4): inside the pp partial-manual
+            # body the sp wrappers run as NESTED shard_maps over the
+            # remaining (sp, tp) axes
+            nested = self.pp_size > 1
             self._attn_decode = partial(
                 sp_paged_attention, mesh, scale=self.scale,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, nested=nested,
             )  # SP uses the partials kernels (no mono/db split there)
-            self._attn_prefill = partial(sp_prefill_attention, mesh, scale=self.scale)
+            self._attn_prefill = partial(
+                sp_prefill_attention, mesh, scale=self.scale, nested=nested
+            )
             self._attn_grouped = partial(
                 sp_paged_attention_grouped, mesh, scale=self.scale,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, nested=nested,
             )
-            self._kv_write = partial(sp_write_kv, mesh)
+            self._kv_write = partial(sp_write_kv, mesh, nested=nested)
         elif self.use_pallas and gmesh.tp_size > 1:
             # Pallas kernels under tp: GSPMD cannot partition the opaque
             # pallas_call (it would all-gather and replicate it), but
@@ -304,7 +310,7 @@ class GroupRunner:
                 vma=frozenset({"pp"}) if self.pp_size > 1 else None,
             )
         self._attn_prefill_self.wants_fresh_kv = True
-        if self.pp_size > 1 and self.use_pallas:
+        if self.pp_size > 1 and self.use_pallas and self.sp_size == 1:
             # Mosaic kernels inside the pp partial-manual body need the
             # remaining (size-1) tp axis manualized (parallel/pp.py)
             from nano_pearl_tpu.parallel.pp import manual_tp_attn

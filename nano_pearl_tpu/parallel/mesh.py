@@ -66,14 +66,24 @@ class GroupMesh:
 
 def _group_mesh(name: str, devs: list, sp: int, pp: int = 1, ep: int = 1) -> GroupMesh:
     """1-axis ("tp",) mesh when sp == pp == ep == 1 (keeps compiled-
-    program caches stable for the common case); otherwise the extra axis
-    goes OUTER (("sp"|"pp"|"ep", "tp")) so each tp group stays on
-    ICI-adjacent devices."""
-    assert sum(x > 1 for x in (sp, pp, ep)) <= 1, (
-        "at most one of sp/pp/ep per group is supported"
+    program caches stable for the common case). A single extra axis goes
+    OUTER (("sp"|"pp"|"ep", "tp")) so each tp group stays on ICI-adjacent
+    devices. pp and sp COMPOSE (round-4): a ("pp", "sp", "tp") mesh
+    shards layers over stages AND cache blocks within each stage —
+    attention runs the sp partial-softmax merge nested inside the pp
+    body (parallel/sp.py nested wrappers). ep stays exclusive (MoE
+    expert sharding does not yet compose with pp/sp)."""
+    assert ep == 1 or (sp == 1 and pp == 1), (
+        "ep does not compose with sp/pp"
     )
     if sp == pp == ep == 1:
         return GroupMesh(name, Mesh(np.array(devs), (TP_AXIS,)))
+    if pp > 1 and sp > 1:
+        tp = len(devs) // (pp * sp)
+        return GroupMesh(
+            name,
+            Mesh(np.array(devs).reshape(pp, sp, tp), (PP_AXIS, SP_AXIS, TP_AXIS)),
+        )
     outer_n, outer_ax = max(
         ((sp, SP_AXIS), (pp, PP_AXIS), (ep, EP_AXIS)), key=lambda t: t[0]
     )

@@ -42,6 +42,33 @@ from nano_pearl_tpu.ops.kv_cache import (
 from nano_pearl_tpu.parallel.mesh import SP_AXIS, TP_AXIS
 
 
+def _smap(fn, mesh, in_specs, out_specs, nested: bool):
+    """shard_map over (sp, tp) — either the full concrete mesh, or
+    NESTED inside the pp partial-manual body (round-4 tp x pp x sp
+    composition): the nested form omits the mesh (the context mesh
+    already has pp manual) and manualizes just the remaining axes."""
+    if nested:
+        from nano_pearl_tpu.parallel.mesh import PP_AXIS
+
+        inner = jax.shard_map(
+            fn, in_specs=in_specs, out_specs=out_specs,
+            axis_names={SP_AXIS, TP_AXIS}, check_vma=False,
+        )
+
+        def outer(*args):
+            # check_vma=False strips varying-axis metadata; the pp body's
+            # scan carries (the cache) need it back to type-match
+            out = inner(*args)
+            return jax.tree.map(
+                lambda a: jax.lax.pcast(a, (PP_AXIS,), to="varying"), out
+            )
+
+        return outer
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def _cache_spec(cache):
     # folded cache [L, 2, NB+1, BS, Hkv*D]: tp shards the trailing folded
     # head axis (equivalent to sharding kv heads — pad_for_tp guarantees
@@ -59,7 +86,7 @@ def _local_block_range(cache):
     return jax.lax.axis_index(SP_AXIS) * nb1_local, nb1_local
 
 
-def sp_write_kv(mesh, cache, k, v, slots, layer_idx):
+def sp_write_kv(mesh, cache, k, v, slots, layer_idx, nested: bool = False):
     """``ops.kv_cache.write_kv`` over a block-sharded cache: each shard
     rewrites global slots to its local range; out-of-range rows are sent
     to an always-out-of-bounds flat index so the scatter's ``mode="drop"``
@@ -79,12 +106,10 @@ def sp_write_kv(mesh, cache, k, v, slots, layer_idx):
         return write_kv(cache, k, v, local_slots, layer_idx)
 
     cs = _cache_spec(cache)
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(cs, P(None, TP_AXIS, None), P(None, TP_AXIS, None), P(), P()),
-        out_specs=cs,
-        check_vma=False,
+    return _smap(
+        body, mesh,
+        (cs, P(None, TP_AXIS, None), P(None, TP_AXIS, None), P(), P()),
+        cs, nested,
     )(cache, k, v, slots, layer_idx)
 
 
@@ -153,6 +178,7 @@ def sp_paged_attention(
     scale: float,
     use_pallas: bool = False,
     interpret: bool = False,
+    nested: bool = False,
 ) -> jax.Array:
     """Sequence-parallel decode/verify attention (per-token context
     lens), exact-match semantics with ``ops.attention.paged_attention_jnp``
@@ -173,12 +199,10 @@ def sp_paged_attention(
             )
             return _merge_partials(o, m_loc, l_loc, q.dtype)
 
-        return jax.shard_map(
-            pbody,
-            mesh=mesh,
-            in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
-            out_specs=P(None, TP_AXIS, None),
-            check_vma=False,
+        return _smap(
+            pbody, mesh,
+            (P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+            P(None, TP_AXIS, None), nested,
         )(q, cache, layer_idx, block_tables, context_lens)
 
     def body(q, cache, layer_idx, tables, ctx):
@@ -196,12 +220,10 @@ def sp_paged_attention(
         out = num / jnp.maximum(den, 1e-30)
         return out.reshape(n, hq, d).astype(q.dtype)
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
-        out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
+    return _smap(
+        body, mesh,
+        (P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+        P(None, TP_AXIS, None), nested,
     )(q, cache, layer_idx, block_tables, context_lens)
 
 
@@ -213,6 +235,7 @@ def sp_prefill_attention(
     block_tables: jax.Array,  # [B, M]
     q_positions: jax.Array,  # [B, Lq]; -1 = padded row
     scale: float,
+    nested: bool = False,
 ) -> jax.Array:
     """Sequence-parallel ragged causal prefill (the sp analogue of
     ``prefill_attention_jnp``: visibility = key position <= query
@@ -243,18 +266,17 @@ def sp_prefill_attention(
         out = num / jnp.maximum(den.transpose(0, 2, 1, 3)[..., None], 1e-30)
         return out.reshape(n, hq, d).astype(q.dtype)
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
-        out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
+    return _smap(
+        body, mesh,
+        (P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+        P(None, TP_AXIS, None), nested,
     )(q, cache, layer_idx, block_tables, q_positions)
 
 
 def sp_paged_attention_grouped(
     mesh, q, cache, layer_idx, group_tables, context_lens, scale,
     rows_per_group, use_pallas: bool = False, interpret: bool = False,
+    nested: bool = False,
 ):
     """Packed-verify attention under sp. With ``use_pallas`` the
     DMA-amortized grouped flash kernel runs per shard and the partials
@@ -274,15 +296,13 @@ def sp_paged_attention_grouped(
             )
             return _merge_partials(o, m_loc, l_loc, q.dtype)
 
-        return jax.shard_map(
-            pbody,
-            mesh=mesh,
-            in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
-            out_specs=P(None, TP_AXIS, None),
-            check_vma=False,
+        return _smap(
+            pbody, mesh,
+            (P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
+            P(None, TP_AXIS, None), nested,
         )(q, cache, layer_idx, group_tables, context_lens)
 
     bt_rows = jnp.repeat(group_tables, rows_per_group, axis=0)
     return sp_paged_attention(
-        mesh, q, cache, layer_idx, bt_rows, context_lens, scale
+        mesh, q, cache, layer_idx, bt_rows, context_lens, scale, nested=nested
     )

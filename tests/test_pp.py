@@ -271,3 +271,34 @@ def test_pp_engine_matches_plain_engine():
     pptp_out, pptp_n = run(draft_pp=2, target_pp=2, target_tp=2)
     assert pptp_out == tp_out
     assert pptp_n == tp_n
+
+
+def test_pp_sp_composed_engine_matches_unsharded():
+    """Round-4 tp x pp x sp composition: a target sharded over BOTH the
+    layer axis (pp=2) and the KV block axis (sp=2) must emit the
+    identical greedy stream as the unsharded engine (the sp wrappers run
+    as nested shard_maps inside the pp body)."""
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import SamplingParams
+
+    cfg_kw = dict(
+        draft=tiny_model_config(),
+        target=tiny_model_config(num_hidden_layers=4),
+        gamma=3,
+    )
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    def run(**over):
+        eng = PearlEngine(tiny_pearl_config(**cfg_kw, **over))
+        for p in prompts:
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=14))
+        out, _, _, _ = eng.generate_token_ids()
+        for p in prompts:
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=14))
+        ar, _, _, _ = eng.AR_generate_token_ids()
+        return out, ar
+
+    base_out, base_ar = run()
+    pp_sp_out, pp_sp_ar = run(target_pp=2, target_sp=2)
+    assert pp_sp_out == base_out
+    assert pp_sp_ar == base_ar
