@@ -299,15 +299,9 @@ def run(args):
             if (args.draft_noise or args.draft_model) and not args.quick
             else "ceiling"
         ),
-        # quantized-cache programs run ~8x slower per step (the int8
-        # kernels are still the grid-per-block generation): shrink the
-        # work per dispatch so no single device execution approaches the
-        # axon tunnel's ~16 s crash threshold (config.max_dispatch_*)
-        **(
-            {"max_dispatch_rounds": 8, "max_dispatch_steps": 48}
-            if args.kv_quant or args.quant
-            else {}
-        ),
+        # round-4: the quantized-cache kernels moved to the db/mono
+        # generation and run at bf16 parity — the old 8x-slower dispatch
+        # caps (axon-tunnel crash guard) are no longer needed
     )
     t0 = time.perf_counter()
     engine = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
