@@ -51,6 +51,11 @@ def parse_args():
     p.add_argument("--draft-layers", type=int, default=3)
     p.add_argument("--target-layers", type=int, default=36)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--draft-noise", type=float, default=0.0,
+        help="relative gaussian noise on the draft's layer weights "
+        "(realistic acceptance; see bench.py --draft-noise)",
+    )
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
 
@@ -87,11 +92,14 @@ def main():
         )
 
     draft, target = mc(args.draft_layers), mc(args.target_layers)
-    dparams, tparams = benchmod.build_layer_share_pair(draft, target, args.seed)
+    dparams, tparams = benchmod.build_layer_share_pair(
+        draft, target, args.seed, args.draft_noise
+    )
     cfg = PearlConfig(
         draft_model=draft, target_model=target, draft_tp=1, target_tp=1,
         max_model_len=2048, max_num_seqs=args.batch_cap, gamma=args.gamma,
         seed=args.seed,
+        perf_profile="throughput" if args.draft_noise else "ceiling",
     )
     eng = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
 
@@ -149,6 +157,7 @@ def main():
         "ttft_p95_s": stats.get("ttft_p95_s"),
         "tpot_p50_s": stats.get("tpot_p50_s"),
         "e2e_p95_s": stats.get("e2e_p95_s"),
+        "draft_noise": args.draft_noise,
     }
     print(json.dumps(result))
 
