@@ -34,12 +34,25 @@ case "$row" in
   moe)
     # sparse-MoE pair (Qwen3-MoE-style routing), 8 experts top-2
     exec python bench.py --moe ;;
+  bs1|bs8|bs16)
+    # batch-size sweep rows (ceiling; chiplog/10_bs_sweep.log). bs=8/16
+    # measure MAT at the exact gamma=14 ceiling after the round-4
+    # numerics fixes (f32 residual carry + argmax barrier).
+    exec python bench.py --batch "${row#bs}" ;;
   int8kv)
-    # INT8 KV cache with in-kernel dequant paged attention. NOTE: the
-    # q8 kernels are still the grid-per-block generation — expect ~8x
-    # below the bf16 rows at full shapes (README "Known kernel gap");
-    # use --quick for the functional smoke.
+    # INT8 KV cache, in-kernel dequant on the chunked-DMA/mono kernel
+    # generation (round 4): 2.89x vs AR at bench shapes, within 1.27x
+    # of the bf16 row's tok/s (round 3's kernels measured 0.874x).
     exec python bench.py --kv-quant int8 ;;
+  int8kv8h)
+    # int8 KV at 8 KV heads (real-model shape): the scale-slab floor
+    # amortizes and the int8 decode kernel runs ~2x FASTER than bf16
+    # (tools/probe_kvq_kernels.py)
+    exec python bench.py --kv-heads 8 --kv-quant int8 ;;
+  adaptive)
+    # acceptance-adaptive gamma (gamma=-1): EWMA agreement estimate
+    # re-picks gamma from a throughput model at fused chunk boundaries
+    exec python bench.py --gamma -1 --draft-noise 0.01 ;;
   int8w)
     # INT8 weight-only quantization on both models
     exec python bench.py --quant int8 ;;
@@ -50,6 +63,6 @@ case "$row" in
     # continuous-batching goodput under Poisson arrivals
     exec python benchmark/bench_serve.py ;;
   *)
-    echo "usage: $0 [headline|mat9|mat7|mat5|mat2g4|moe|int8kv|int8w|quick|serve]" >&2
+    echo "usage: $0 [headline|bs1|bs8|bs16|mat9|mat7|mat5|mat2g4|adaptive|moe|int8kv|int8kv8h|int8w|quick|serve]" >&2
     exit 2 ;;
 esac
