@@ -332,6 +332,35 @@ def run(args):
     add_requests()
     engine.bench_generate(num_pearl_steps=2, reserve_steps=args.steps)
     _phase("warmup pearl", t0)
+    if args.gamma == -1:
+        # Adaptive-gamma warmup: let the acceptance EWMA converge and
+        # compile every gamma the adaptation walks through OUTSIDE the
+        # timed window (each gamma is its own fused program; a switch
+        # inside the measured run would otherwise pay its compile
+        # there). Stop once the picked gamma is stable twice in a row.
+        t0 = time.perf_counter()
+        stable, prev_g = 0, None
+        for _ in range(8):
+            add_requests()
+            engine.bench_generate(num_pearl_steps=24, reserve_steps=args.steps)
+            g_now = engine.orchestrator.last_gamma
+            stable = stable + 1 if g_now == prev_g else 0
+            prev_g = g_now
+            if stable >= 2:
+                break
+        # Calibrate a SECOND ladder point so the engine's round-time
+        # model fits a measured slope (first run at the forced gamma
+        # compiles and is discarded, the second measures).
+        ladder = engine.orchestrator._gamma_ladder
+        if prev_g in ladder:
+            i = ladder.index(prev_g)
+            g2 = ladder[i + 1] if i + 1 < len(ladder) else ladder[i - 1]
+            engine.orchestrator.force_gamma = g2
+            for _ in range(2):
+                add_requests()
+                engine.bench_generate(num_pearl_steps=24, reserve_steps=args.steps)
+            engine.orchestrator.force_gamma = None
+        _phase(f"warmup adaptive (settled gamma {prev_g})", t0)
     t0 = time.perf_counter()
     add_requests()
     engine.AR_bench_generate(num_steps=4, reserve_steps=ar_steps)

@@ -200,11 +200,12 @@ class GroupRunner:
 
             _mesh = gmesh.mesh
 
-            def _moe_fn(h2, lp):
+            def _moe_fn(h2, lp, moe_ragged=False):
                 return moe_mlp_ep(
                     _mesh, h2, lp["router"], lp["wgate"], lp["wup"],
                     lp["wdown"], mcfg.num_experts_per_tok,
                     mcfg.norm_topk_prob, mcfg.valid_num_experts,
+                    allow_ragged=moe_ragged,
                 )
 
             self._forward = partial(self._forward, moe_fn=_moe_fn)
@@ -500,7 +501,7 @@ class GroupRunner:
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill, (block_tables, q_positions),
-            kv_write_fn=self._kv_write,
+            kv_write_fn=self._kv_write, moe_ragged=True,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 
@@ -514,7 +515,7 @@ class GroupRunner:
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill_self, (block_tables, q_positions),
-            kv_write_fn=self._kv_write,
+            kv_write_fn=self._kv_write, moe_ragged=True,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 
@@ -536,14 +537,14 @@ class GroupRunner:
                 self.cfg, params, kv, tokens, positions, slots, rope,
                 self._attn_prefill_prefix_pallas,
                 (block_tables[:, :m_pre], num_cached, n_new),
-                kv_write_fn=self._kv_write,
+                kv_write_fn=self._kv_write, moe_ragged=True,
             )
             return kv, compute_logits(self.cfg, params, hidden[sel_rows])
         pk, pv = gather_prefix_kv(kv, block_tables[:, :m_pre], self.cfg.head_dim)
         hidden, kv = self._forward(
             self.cfg, params, kv, tokens, positions, slots, rope,
             self._attn_prefill_prefix, (pk, pv, num_cached, q_positions),
-            kv_write_fn=self._kv_write,
+            kv_write_fn=self._kv_write, moe_ragged=True,
         )
         return kv, compute_logits(self.cfg, params, hidden[sel_rows])
 

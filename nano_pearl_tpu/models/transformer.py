@@ -157,6 +157,14 @@ def forward(
     attn_args: tuple,  # traced attention metadata (block tables, lens, ...)
     kv_write_fn=write_kv,  # static; sequence-parallel groups localize writes (parallel/sp.py)
     moe_fn=None,  # static; mesh-aware MoE dispatch (EP ragged, ops/moe.moe_mlp_ep)
+    moe_ragged=False,  # static; allow the sorted-ragged MoE dispatch.
+    # PREFILL-ONLY by contract: the draft's gamma-scan decode and the
+    # target's packed verify must run the SAME dispatch flavor (dense
+    # one-hot) — ragged_dot's per-segment fp schedule differs from the
+    # dense einsums', and a schedule mismatch between the two streams
+    # flips near-tied argmaxes, leaking bitwise-ceiling acceptance
+    # (measured: MoE ceiling MAT 11.25 vs dense 14.0 when verify rows
+    # crossed _RAGGED_MIN_ROWS while decode stayed dense).
 ) -> tuple[jax.Array, jax.Array]:
     """Run the decoder stack; returns (hidden [N, H], updated kv_cache).
 
@@ -178,6 +186,7 @@ def forward(
         cfg, params["layers"], kv_cache, x,
         jnp.zeros(x.shape, jnp.float32),  # f32 residual carry (layer_step)
         rope_rows, slots, attn_fn, attn_args, kv_write_fn, moe_fn,
+        moe_ragged=moe_ragged,
     )
     final = x.astype(jnp.float32) + res
     hidden = rms_norm(final, params["final_ln"], eps, out_dtype=x.dtype)
@@ -196,6 +205,7 @@ def run_layers(
     attn_args: tuple,
     kv_write_fn=write_kv,
     moe_fn=None,
+    moe_ragged=False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The decoder-layer scan of ``forward``, factored so pipeline
     parallelism (parallel/pp.py) can run one stage's layer CHUNK: the
@@ -270,7 +280,7 @@ def run_layers(
             if moe_fn is not None:
                 # mesh-aware dispatch bound by the runner (EP-sharded
                 # ragged path, ops/moe.moe_mlp_ep)
-                mlp_out = moe_fn(h2, lp)
+                mlp_out = moe_fn(h2, lp, moe_ragged)
             else:
                 from nano_pearl_tpu.ops.moe import moe_mlp
 
@@ -281,7 +291,7 @@ def run_layers(
                     # the mesh-free ragged dispatch needs global
                     # group_sizes: ep > 1 without a bound moe_fn falls
                     # back to dense dispatch
-                    allow_ragged=cfg.ep_size == 1,
+                    allow_ragged=cfg.ep_size == 1 and moe_ragged,
                 )
         elif "wgu" in lp:
             gu = mm(h2, lp["wgu"])

@@ -76,6 +76,7 @@ def pp_forward(
     attn_args: tuple,
     kv_write_fn=write_kv,
     moe_fn=None,
+    moe_ragged=False,  # static; prefill-only (see transformer.forward)
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ``models.transformer.forward`` on a
     ``("pp", "tp")`` group mesh (tests/test_pp.py asserts parity)."""
@@ -99,6 +100,7 @@ def pp_forward(
                 cfg, params["layers"], cache, x, res, rope_rows,
                 jnp.where(active, slots, _VOID_SLOT),
                 attn_fn, attn_args, kv_write_fn, moe_fn,
+                moe_ragged=moe_ragged,
             )
             x = jnp.where(active, x2, x)
             res = jnp.where(active, res2, res)

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-4 measurement campaign 4: synthetic_long re-measure (paged-prefix
+# prefill kernel, VERDICT r3 item 5 — round-3 row was 1.21x), ceiling
+# divergence probes at bs=1/32 (the two batch sizes whose MAT still
+# leaks), and a final headline re-run on the warm cache.
+cd /root/repo || exit 1
+L=tools/chiplog/14_longprompt_probes.log
+{
+  echo "=== synthetic_long ceiling bs16 gamma14 (round-3 config; prefix kernel on) [$(date -u +%H:%M:%S)] ==="
+  timeout 1800 python benchmark/eval_benchmark.py --layer-share 3,36 --token-ids \
+    --data-path benchmark/data/synthetic_long.jsonl -bs 16 --gamma 14 \
+    --num-pearl-steps 16 --num-samples 32 -ar
+  echo "=== ceiling divergence probe bs=1 [$(date -u +%H:%M:%S)] ==="
+  timeout 1500 python tools/probe_ceiling_divergence2.py --batch 1
+  echo "=== ceiling divergence probe bs=32 [$(date -u +%H:%M:%S)] ==="
+  timeout 1500 python tools/probe_ceiling_divergence2.py --batch 32
+  echo "=== headline re-run (warm cache) [$(date -u +%H:%M:%S)] ==="
+  timeout 1800 python bench.py
+  echo "CAMPAIGN4_DONE [$(date -u +%H:%M:%S)]"
+} >> "$L" 2>&1
