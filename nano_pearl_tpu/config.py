@@ -297,8 +297,16 @@ class PearlConfig:
     #   full ICI width per model; needs draft_tp == target_tp == n_devices)
     placement: str = "disjoint"
     # Static-shape buckets replacing CUDA-graph capture buckets
-    # (reference: pearl_model_runner.py:276).
-    decode_bucket_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    # (reference: pearl_model_runner.py:276). The minimum decode bucket
+    # is 8 for NUMERICS, not speed: on v5e the M=1..4-row decode GEMMs
+    # lower to a different contraction schedule than the packed-verify
+    # rows, so the draft's gamma-scan and the target's verify disagree
+    # in every logit element (probe_ceiling_divergence2 at bs=1:
+    # maxdiff 2e-2, ~1 argmax flip per gamma=14 round, engine ceiling
+    # MAT 9.4). At M>=8 both streams are BITWISE identical (bs=8/16
+    # measure the exact 14.0 ceiling). The pad rows are HBM-bound noise:
+    # small-batch forwards stream weights, so 8 rows cost what 1 does.
+    decode_bucket_sizes: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
     prefill_token_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
     # Explicit device assignment (list of jax devices) or None for
     # automatic split: draft gets the first draft_tp devices, target the

@@ -10,10 +10,6 @@ L=tools/chiplog/14_longprompt_probes.log
   timeout 1800 python benchmark/eval_benchmark.py --layer-share 3,36 --token-ids \
     --data-path benchmark/data/synthetic_long.jsonl -bs 16 --gamma 14 \
     --num-pearl-steps 16 --num-samples 32 -ar
-  echo "=== ceiling divergence probe bs=1 [$(date -u +%H:%M:%S)] ==="
-  timeout 1500 python tools/probe_ceiling_divergence2.py --batch 1
-  echo "=== ceiling divergence probe bs=32 [$(date -u +%H:%M:%S)] ==="
-  timeout 1500 python tools/probe_ceiling_divergence2.py --batch 32
   echo "=== headline re-run (warm cache) [$(date -u +%H:%M:%S)] ==="
   timeout 1800 python bench.py
   echo "CAMPAIGN4_DONE [$(date -u +%H:%M:%S)]"
