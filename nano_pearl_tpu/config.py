@@ -297,16 +297,21 @@ class PearlConfig:
     #   full ICI width per model; needs draft_tp == target_tp == n_devices)
     placement: str = "disjoint"
     # Static-shape buckets replacing CUDA-graph capture buckets
-    # (reference: pearl_model_runner.py:276). The minimum decode bucket
-    # is 8 for NUMERICS, not speed: on v5e the M=1..4-row decode GEMMs
-    # lower to a different contraction schedule than the packed-verify
-    # rows, so the draft's gamma-scan and the target's verify disagree
-    # in every logit element (probe_ceiling_divergence2 at bs=1:
-    # maxdiff 2e-2, ~1 argmax flip per gamma=14 round, engine ceiling
-    # MAT 9.4). At M>=8 both streams are BITWISE identical (bs=8/16
-    # measure the exact 14.0 ceiling). The pad rows are HBM-bound noise:
-    # small-batch forwards stream weights, so 8 rows cost what 1 does.
-    decode_bucket_sizes: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
+    # (reference: pearl_model_runner.py:276). None -> profile-dependent
+    # default (__post_init__): under the "ceiling" profile the minimum
+    # decode bucket is 8 for NUMERICS, not speed — on v5e the M=1..4-row
+    # decode GEMMs lower to a different contraction schedule than the
+    # packed-verify rows, so the draft's gamma-scan and the target's
+    # verify disagree in every logit element (probe_ceiling_divergence2
+    # at bs=1: maxdiff 2e-2, ~1 argmax flip per gamma=14 round, engine
+    # ceiling MAT 9.4; measured fix: bs=1 MAT 9.4 -> 14.0, 2.85x ->
+    # 4.16x). At M>=8 both streams are BITWISE identical. The pad rows
+    # are HBM-bound noise at the ceiling's db schedule, but cost ~15%
+    # under the "throughput" profile's mono kernels at bs=1 where MAT is
+    # set by real model divergence anyway — so that profile keeps the
+    # tight buckets (measured: noise-0.005 bs=1 2.17x tight vs 1.89x
+    # padded).
+    decode_bucket_sizes: tuple[int, ...] | None = None
     prefill_token_buckets: tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
     # Explicit device assignment (list of jax devices) or None for
     # automatic split: draft gets the first draft_tp devices, target the
@@ -334,6 +339,12 @@ class PearlConfig:
     target_config: ModelConfig = field(init=False)
 
     def __post_init__(self):
+        if self.decode_bucket_sizes is None:
+            self.decode_bucket_sizes = (
+                (8, 16, 32, 64, 128, 256, 512)
+                if self.perf_profile == "ceiling"
+                else (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+            )
         if self.perf_profile not in ("ceiling", "throughput"):
             raise ValueError(
                 f"unknown perf_profile {self.perf_profile!r} "
