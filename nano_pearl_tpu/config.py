@@ -396,6 +396,19 @@ class PearlConfig:
                 return b
         return round_up(n, self.decode_bucket_sizes[-1])
 
+    def prefill_bucket_batch(self, n: int) -> int:
+        """Tight batch bucket for PREFILL programs. Prefill never needs
+        the ceiling profile's min-8 decode pad: the draft and target
+        prefill the same prompts at the same shapes, so the two streams'
+        prefill numerics match by construction. It also sidesteps an
+        XLA:CPU compiler CHECK crash ("Invalid binary instruction
+        opcode copy", hlo_instruction.cc) observed when compiling
+        batch-padded ep x tp prefill programs on the virtual test mesh."""
+        for b in (1, 2, 4) + tuple(self.decode_bucket_sizes):
+            if b >= n:
+                return b
+        return round_up(n, self.decode_bucket_sizes[-1])
+
     def bucket_tokens(self, n: int) -> int:
         """Smallest prefill token bucket >= n."""
         for b in self.prefill_token_buckets:

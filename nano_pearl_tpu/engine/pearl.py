@@ -194,7 +194,7 @@ class PearlOrchestrator:
             assert seqs, "prefill admission made no progress (out of KV blocks?)"
             self._drain_oversized(seqs, target_only)
             b = len(seqs)
-            b_pad = self.pcfg.bucket_batch(b)
+            b_pad = self.pcfg.prefill_bucket_batch(b)
             lq_d = max(len(s.draft) - s.draft.num_cached_tokens for s in seqs)
             lq_t = max(len(s.target) - s.target.num_cached_tokens for s in seqs)
             temps = np.zeros((b_pad,), np.float32)
@@ -287,7 +287,7 @@ class PearlOrchestrator:
                     runner.prefill(
                         [view],
                         self.pcfg.bucket_tokens(chunk),
-                        self.pcfg.bucket_batch(1),
+                        self.pcfg.prefill_bucket_batch(1),
                         self._m_pad_tight([view]),
                         fresh_only=view.num_cached_tokens == 0,
                         limit=chunk,

@@ -21,9 +21,21 @@ _DONE = False
 
 
 def default_cache_dir() -> str:
-    """<repo checkout root>/.jax_cache — survives session /tmp wipes."""
+    """<repo checkout root>/.jax_cache_<platforms> — survives session
+    /tmp wipes. The directory is KEYED BY jax_platforms: a TPU-plugin
+    process (axon) emits CPU AOT artifacts compiled with modified
+    target features (+prefer-no-scatter/gather), and a plain-CPU
+    process that loads such an entry from a shared cache ABORTS with a
+    machine-feature mismatch (observed as a hard `Fatal Python error:
+    Aborted` in backend_compile_and_load while the chip bench and the
+    CPU test suite ran concurrently). One cache per platform config
+    keeps the artifacts compatible by construction."""
+    import jax
+
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(os.path.dirname(pkg), ".jax_cache")
+    platforms = jax.config.jax_platforms or "default"
+    tag = "".join(c if c.isalnum() else "_" for c in platforms)
+    return os.path.join(os.path.dirname(pkg), f".jax_cache_{tag}")
 
 
 def enable_compile_cache() -> str | None:
