@@ -348,17 +348,21 @@ def run(args):
             prev_g = g_now
             if stable >= 2:
                 break
-        # Calibrate a SECOND ladder point so the engine's round-time
-        # model fits a measured slope (first run at the forced gamma
-        # compiles and is discarded, the second measures).
+        # Calibrate the settled gamma's NEIGHBOR ladder points: two runs
+        # each (the first at a forced gamma compiles and is discarded,
+        # the second records round time AND the empirical commit rate),
+        # so the engine's adaptive scorer ranks the local neighborhood
+        # on measurements rather than the geometric model.
         ladder = engine.orchestrator._gamma_ladder
         if prev_g in ladder:
             i = ladder.index(prev_g)
-            g2 = ladder[i + 1] if i + 1 < len(ladder) else ladder[i - 1]
-            engine.orchestrator.force_gamma = g2
-            for _ in range(2):
-                add_requests()
-                engine.bench_generate(num_pearl_steps=24, reserve_steps=args.steps)
+            for j in (i - 1, i + 1):
+                if not 0 <= j < len(ladder):
+                    continue
+                engine.orchestrator.force_gamma = ladder[j]
+                for _ in range(2):
+                    add_requests()
+                    engine.bench_generate(num_pearl_steps=24, reserve_steps=args.steps)
             engine.orchestrator.force_gamma = None
         _phase(f"warmup adaptive (settled gamma {prev_g})", t0)
     t0 = time.perf_counter()

@@ -70,6 +70,10 @@ class PearlOrchestrator:
         # _round_best keeps the min of the rest (_note_round_time).
         self._round_best: dict[tuple[int, int], float] = {}
         self._round_seen: set[tuple[int, int]] = set()
+        # Per-gamma EWMA of observed committed tokens/round (empirical
+        # acceptance curve; _adapt_gamma prefers it over the geometric
+        # model wherever a gamma has actually been run).
+        self._commit_obs: dict[int, float] = {}
         # Calibration override: when set, _pick_gamma returns it verbatim
         # (bench warmup measures a second ladder point so the round-time
         # fit has a real slope instead of the dispatch-profiled one).
@@ -512,13 +516,18 @@ class PearlOrchestrator:
 
     def _note_commit_rate(self, tokens_per_round: float, gamma: int, rounds: int = 1):
         """Fold an observed committed-tokens/round sample (over ``rounds``
-        rounds at draft window ``gamma``) into the p EWMA."""
+        rounds at draft window ``gamma``) into the p EWMA and the
+        per-gamma empirical commit table."""
         if gamma < 1 or rounds < 1:
             return
         est = self._estimate_p(tokens_per_round, gamma)
         a = 1.0 - 0.75 ** min(rounds, 16)  # per-round alpha 0.25
         self._p_ewma = est if self._p_ewma is None else (
             (1 - a) * self._p_ewma + a * est
+        )
+        cur = self._commit_obs.get(gamma)
+        self._commit_obs[gamma] = tokens_per_round if cur is None else (
+            (1 - a) * cur + a * tokens_per_round
         )
 
     def _note_round_time(self, gamma: int, b: int, seconds_per_round: float):
@@ -581,8 +590,25 @@ class PearlOrchestrator:
             return base_gamma
         p = self._p_ewma
 
+        def commit_est(g: int) -> float:
+            """E[committed/round] at window g: the OBSERVED per-gamma
+            EWMA when g has been run; otherwise the geometric model
+            rescaled through the nearest observed gamma. Real acceptance
+            is not i.i.d. geometric (divergence grows along the window;
+            pre-verify rounds dilute small gammas), so the raw model
+            systematically underestimates larger windows — anchoring on
+            measurements fixes the ranking where it matters."""
+            if g in self._commit_obs:
+                return self._commit_obs[g]
+            geo = self._expected_commit(g, p)
+            if not self._commit_obs:
+                return geo
+            g0 = min(self._commit_obs, key=lambda k: abs(k - g))
+            geo0 = max(self._expected_commit(g0, p), 1e-6)
+            return min(float(g), geo * self._commit_obs[g0] / geo0)
+
         def score(g: int) -> float:
-            return self._expected_commit(g, p) / tmodel(g)
+            return commit_est(g) / tmodel(g)
 
         best = max(self._gamma_ladder, key=score)
         if score(best) < 1.10 * score(base_gamma):
