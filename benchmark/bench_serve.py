@@ -113,8 +113,21 @@ def main():
         temperature=0.0, max_tokens=args.max_tokens, ignore_eos=True
     )
 
-    # warmup: compile every program shape the serve loop will hit
-    wid = eng.submit(prompts[0], params)
+    # warmup: compile every program shape the serve loop will hit. A
+    # full batch-cap of requests with STAGGERED max_tokens drains the
+    # running batch through every decode bucket (32 -> 16 -> 8 -> ...),
+    # so no fused-chunk program compiles inside the timed window (a
+    # single-request warmup left the larger buckets cold and their
+    # first-hit compiles polluted TTFT/goodput).
+    for i in range(args.batch_cap):
+        eng.submit(
+            prompts[i % len(prompts)],
+            SamplingParams(
+                temperature=0.0,
+                max_tokens=8 + 8 * (i % max(1, args.batch_cap // 4)),
+                ignore_eos=True,
+            ),
+        )
     while eng.has_work:
         eng.serve_step(args.fused_rounds)
     eng.scheduler.finished.clear()
