@@ -72,10 +72,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    import jax
+    from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    enable_compile_cache()
 
     import bench as benchmod
     from nano_pearl_tpu import PearlEngine

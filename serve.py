@@ -353,18 +353,27 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--warmup-batches", default="1,8,32",
+        help="comma-separated decode buckets to pre-compile before "
+        "accepting traffic (first requests then pay zero compile "
+        "latency); empty string to skip",
+    )
     args = p.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    import jax
+    from nano_pearl_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nano_pearl_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    enable_compile_cache()
 
     engine = build_engine(args)
+    if args.warmup_batches:
+        engine.warmup(
+            batches=tuple(int(b) for b in args.warmup_batches.split(",")),
+        )
     server = PearlServer(engine, fused_rounds=args.fused_rounds)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving on http://{args.host}:{args.port}  (POST /generate, GET /health)")
