@@ -334,6 +334,14 @@ class PearlConfig:
     # (resolved per GroupRunner at build time; never written back to the
     # process environment).
     perf_profile: str = "ceiling"
+    # Classic-verify sequence-group chunk cap (0 = off): split packed
+    # verifies into <= cap-group chunks so the verify GEMMs run in the
+    # M in [8, 224] schedule class that matches the decode stream
+    # bitwise (the 448-row verify of bs=32 x gamma=14 is its own class
+    # and seeds the remaining bs=32 ceiling leak). Costs one extra
+    # weight stream per additional chunk. Env override:
+    # NANO_PEARL_VERIFY_GROUP_CAP.
+    verify_group_cap: int = 0
 
     draft_config: ModelConfig = field(init=False)
     target_config: ModelConfig = field(init=False)

@@ -96,6 +96,15 @@ class GroupRunner:
             if _env_dv is not None
             else pcfg.perf_profile == "throughput"
         )
+        # Verify sequence-group chunk cap (classic path only): split the
+        # packed verify into <=cap-group chunks so its GEMMs run at the
+        # M in [8, 224] schedule class that matches the decode stream
+        # bitwise (the 448-row shape is its own class and seeds the
+        # bs=32 ceiling leak, probe_ceiling_divergence2). 0 = off.
+        _env_cap = _os.environ.get("NANO_PEARL_VERIFY_GROUP_CAP")
+        self._verify_group_cap = (
+            int(_env_cap) if _env_cap is not None else pcfg.verify_group_cap
+        )
 
         # Disjoint multi-host placement: a controller whose process owns
         # none of this group's devices builds the runner WITHOUT weights
@@ -637,6 +646,40 @@ class GroupRunner:
                     self._attn_decode, (bt_rows, context_lens),
                     kv_write_fn=self._kv_write,
                 )
+            cap = self._verify_group_cap
+            b = block_tables.shape[0]
+            if cap and b > cap:
+                # Sequence-group chunking: groups are disjoint sequences
+                # (chunk j+1's rows never attend chunk j's), so the only
+                # cross-chunk state is the cache, threaded as the scan
+                # carry. Each chunk runs the SAME <=cap-group program
+                # shape whose GEMM schedule class matches the decode
+                # stream bitwise; the cost is streaming the weights once
+                # per chunk instead of once per verify.
+                k = -(-b // cap)
+                while b % k:
+                    k += 1
+                bc = b // k
+                n = tokens.shape[0]
+                nc = n // k
+                part = lambda x: x.reshape(k, nc)
+                stacked = (
+                    part(tokens), part(positions), part(slots),
+                    block_tables.reshape(k, bc, -1), part(context_lens),
+                )
+
+                def chunk(kv, a):
+                    tk, ps, sl, bt, cl = a
+                    hidden, kv = self._forward(
+                        self.cfg, params, kv, tk, ps, sl, rope,
+                        partial(self._attn_grouped, rows_per_group=gamma),
+                        (bt, cl),
+                        kv_write_fn=self._kv_write,
+                    )
+                    return kv, hidden
+
+                kv, hiddens = jax.lax.scan(chunk, kv, stacked)
+                return hiddens.reshape(n, -1), kv
             return self._forward(
                 self.cfg, params, kv, tokens, positions, slots, rope,
                 partial(self._attn_grouped, rows_per_group=gamma),

@@ -109,3 +109,36 @@ def test_greedy_verdict_accepts_matching_argmax():
     assert int(res.n_acc[0]) == 2
     assert int(res.rollout[0]) == 1
     assert int(res.revise[0]) == 5
+
+
+def test_verify_group_cap_lossless():
+    """Sequence-chunked classic verify (verify_group_cap, the bs=32
+    ceiling-leak mitigation: each chunk reruns the decode stream's GEMM
+    schedule class) produces the same committed tokens as the unchunked
+    program — chunks are disjoint sequence groups threaded through the
+    cache, so T=0 outputs must match AR exactly either way."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import tiny_pearl_config
+
+    from nano_pearl_tpu import PearlEngine
+    from nano_pearl_tpu.config import SamplingParams
+
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4], [11, 3]]
+
+    def run(cap):
+        eng = PearlEngine(tiny_pearl_config(verify_group_cap=cap))
+        for prm in prompts:
+            eng.add_request(prm, SamplingParams(temperature=0.0, max_tokens=24))
+        out, _, _, _ = eng.generate_token_ids()
+        for prm in prompts:
+            eng.add_request(prm, SamplingParams(temperature=0.0, max_tokens=24))
+        ar, _, _, _ = eng.AR_generate_token_ids()
+        return out, ar
+
+    out_c, ar_c = run(cap=2)  # 4 seqs -> 2 chunks
+    out_0, ar_0 = run(cap=0)
+    assert out_c == ar_c  # T=0 losslessness with chunked verify
+    assert out_c == out_0 == ar_0
