@@ -56,6 +56,16 @@ case "$row" in
   int8w)
     # INT8 weight-only quantization on both models
     exec python bench.py --quant int8 ;;
+  vcap)
+    # sequence-chunked verify at the bitwise ceiling: two 224-row
+    # chunks instead of one 448-row verify (bs=32 ceiling-leak fix)
+    NANO_PEARL_VERIFY_GROUP_CAP=16 exec python bench.py ;;
+  dataset)
+    # one reference-dataset row (offline-tokenized token-id JSONL;
+    # swap the path for AIME/GSM8K/CNNDM - chiplog/12_datasets.log)
+    exec python benchmark/eval_benchmark.py --layer-share 3,36 --token-ids \
+      --draft-noise 0.005 --gamma 14 --num-pearl-steps 28 -ar \
+      --data-path benchmark/data/HumanEval.tokens.jsonl -bs 32 --num-samples 64 ;;
   quick)
     # 2-minute smoke (tiny shapes)
     exec python bench.py --quick ;;
@@ -63,6 +73,6 @@ case "$row" in
     # continuous-batching goodput under Poisson arrivals
     exec python benchmark/bench_serve.py ;;
   *)
-    echo "usage: $0 [headline|bs1|bs8|bs16|mat9|mat7|mat5|mat2g4|adaptive|moe|int8kv|int8kv8h|int8w|quick|serve]" >&2
+    echo "usage: $0 [headline|bs1|bs8|bs16|mat9|mat7|mat5|mat2g4|adaptive|moe|int8kv|int8kv8h|int8w|vcap|dataset|quick|serve]" >&2
     exit 2 ;;
 esac
