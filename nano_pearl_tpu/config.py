@@ -334,19 +334,24 @@ class PearlConfig:
     # (resolved per GroupRunner at build time; never written back to the
     # process environment).
     perf_profile: str = "ceiling"
-    # Classic-verify sequence-group chunk cap (0 = off): split packed
-    # verifies into <= cap-group chunks so the verify GEMMs run in the
-    # M in [8, 224] schedule class that matches the decode stream
-    # bitwise (the 448-row verify of bs=32 x gamma=14 is its own class
-    # and seeds the remaining bs=32 ceiling leak). Costs one extra
-    # weight stream per additional chunk. Env override:
-    # NANO_PEARL_VERIFY_GROUP_CAP.
-    verify_group_cap: int = 0
+    # Classic-verify sequence-group chunk cap (0 = off, -1 = profile
+    # default): split packed verifies into <= cap-group chunks so the
+    # verify GEMMs run in the M in [8, 224] schedule class that matches
+    # the decode stream bitwise (the 448-row verify of bs=32 x gamma=14
+    # is its own class and seeded the bs=32 ceiling leak — the gamma=7
+    # probe measured the exact 7.0 ceiling once verify rows fit 224).
+    # Validated on chip at bs=32 gamma=14: MAT 12.15 -> 14.0 AND tok/s
+    # 21556 -> 22695 (+5%), so the ceiling profile defaults to cap 16;
+    # the throughput profile keeps 0 (deferred verify path unaffected).
+    # Env override: NANO_PEARL_VERIFY_GROUP_CAP.
+    verify_group_cap: int = -1
 
     draft_config: ModelConfig = field(init=False)
     target_config: ModelConfig = field(init=False)
 
     def __post_init__(self):
+        if self.verify_group_cap == -1:
+            self.verify_group_cap = 16 if self.perf_profile == "ceiling" else 0
         if self.decode_bucket_sizes is None:
             self.decode_bucket_sizes = (
                 (8, 16, 32, 64, 128, 256, 512)
