@@ -72,8 +72,13 @@ class PearlOrchestrator:
         self._round_seen: set[tuple[int, int]] = set()
         # Per-gamma EWMA of observed committed tokens/round (empirical
         # acceptance curve; _adapt_gamma prefers it over the geometric
-        # model wherever a gamma has actually been run).
+        # model wherever a gamma has actually been run). Entries age:
+        # _commit_age stamps the tick of the last refresh, and commit_est
+        # decays stale anchors toward the geometric model so a regime
+        # change does not rank unvisited gammas on dead measurements.
         self._commit_obs: dict[int, float] = {}
+        self._commit_age: dict[int, int] = {}
+        self._commit_tick = 0
         # Calibration override: when set, _pick_gamma returns it verbatim
         # (bench warmup measures a second ladder point so the round-time
         # fit has a real slope instead of the dispatch-profiled one).
@@ -529,6 +534,8 @@ class PearlOrchestrator:
         self._commit_obs[gamma] = tokens_per_round if cur is None else (
             (1 - a) * cur + a * tokens_per_round
         )
+        self._commit_tick += 1
+        self._commit_age[gamma] = self._commit_tick
 
     def _note_round_time(self, gamma: int, b: int, seconds_per_round: float):
         """Fold a measured fused-chunk seconds/round sample into the
@@ -590,6 +597,16 @@ class PearlOrchestrator:
             return base_gamma
         p = self._p_ewma
 
+        def obs_blend(g: int) -> float:
+            """Observed commit EWMA at g, decayed toward the geometric
+            model with staleness (half-life 64 notes): anchors measured
+            under an earlier workload stop dominating after a regime
+            change they never saw (advisor r4)."""
+            geo = self._expected_commit(g, p)
+            age = self._commit_tick - self._commit_age.get(g, self._commit_tick)
+            w = 0.5 ** (age / 64.0)
+            return w * self._commit_obs[g] + (1.0 - w) * geo
+
         def commit_est(g: int) -> float:
             """E[committed/round] at window g: the OBSERVED per-gamma
             EWMA when g has been run; otherwise the geometric model
@@ -599,13 +616,13 @@ class PearlOrchestrator:
             systematically underestimates larger windows — anchoring on
             measurements fixes the ranking where it matters."""
             if g in self._commit_obs:
-                return self._commit_obs[g]
+                return obs_blend(g)
             geo = self._expected_commit(g, p)
             if not self._commit_obs:
                 return geo
             g0 = min(self._commit_obs, key=lambda k: abs(k - g))
             geo0 = max(self._expected_commit(g0, p), 1e-6)
-            return min(float(g), geo * self._commit_obs[g0] / geo0)
+            return min(float(g), geo * obs_blend(g0) / geo0)
 
         def score(g: int) -> float:
             return commit_est(g) / tmodel(g)
@@ -1046,7 +1063,10 @@ class PearlOrchestrator:
                     )
                 if done or finished:
                     break
-                if self.pcfg.gamma == -1:
+                # force_gamma (bench neighbor-ladder calibration) pins the
+                # window: re-adapting mid-run would record few or no
+                # post-compile samples at the forced gamma (advisor r4)
+                if self.pcfg.gamma == -1 and self.force_gamma is None:
                     g2 = self._adapt_gamma(gamma)
                     if g2 != gamma:
                         regamma = g2

@@ -105,6 +105,12 @@ class GroupRunner:
         self._verify_group_cap = (
             int(_env_cap) if _env_cap is not None else pcfg.verify_group_cap
         )
+        # Ragged MoE dispatch in the PACKED VERIFY: the dense-everywhere
+        # rule exists so decode (gamma-scan) and verify share one dispatch
+        # flavor at the bitwise ceiling (docs/DESIGN.md §8) — under the
+        # 'throughput' profile acceptance is set by real model divergence,
+        # so large verifies keep the faster sorted-ragged path (advisor r4)
+        self._moe_ragged_verify = pcfg.perf_profile == "throughput"
 
         # Disjoint multi-host placement: a controller whose process owns
         # none of this group's devices builds the runner WITHOUT weights
@@ -192,13 +198,12 @@ class GroupRunner:
             # attention runs on each stage's LOCAL layer chunk inside the
             # partial-manual shard_map body. The Pallas kernels are
             # layer-chunk-agnostic (layer-folded offsets are computed
-            # from the local cache shard) so pp-only groups keep them;
-            # under pp x tp the tp axis stays GSPMD-auto inside the body,
-            # and GSPMD cannot partition the opaque pallas_call — those
-            # groups keep the jnp paths (head-sharded einsums partition
-            # fine). Round-4: use_pallas no longer forced off for pp.
-            if gmesh.tp_size > 1:
-                self.use_pallas = False
+            # from the local cache shard) so pp-only groups keep them.
+            # Round-4: pp-only (tp==1) keeps the kernels via the
+            # manual_tp_attn shim; round-5: pp x tp nests the REAL tp
+            # shard_map wrappers inside the partial-manual body
+            # (parallel/tp_attn.py with mesh=None -> context mesh), so
+            # use_pallas is never forced off by axis composition.
         else:
             self._forward = forward
         if mcfg.is_moe and gmesh.ep_size > 1:
@@ -259,14 +264,22 @@ class GroupRunner:
                 tp_paged_attention_grouped,
             )
 
-            mesh = gmesh.mesh
+            # pp x tp (round-5): inside the pp partial-manual body the
+            # tp axis is still GSPMD-auto — mesh=None makes the wrapper's
+            # nested shard_map pick up the context mesh and manualize tp
+            # around the kernel; vma declares the output pp-varying for
+            # the outer body's check_vma
+            nested = self.pp_size > 1
+            mesh = None if nested else gmesh.mesh
+            _vma = frozenset({"pp"}) if nested else None
             self._attn_decode = partial(
-                tp_paged_attention, mesh, scale=self.scale, mono=self.use_mono
+                tp_paged_attention, mesh, scale=self.scale,
+                mono=self.use_mono, vma=_vma,
             )
             self._attn_prefill = partial(prefill_attention_jnp, scale=self.scale)
             self._attn_grouped = partial(
                 tp_paged_attention_grouped, mesh, scale=self.scale,
-                mono=self.use_mono,
+                mono=self.use_mono, vma=_vma,
             )
             from nano_pearl_tpu.ops.kv_cache import write_fresh
             from nano_pearl_tpu.parallel.tp_attn import (
@@ -275,7 +288,7 @@ class GroupRunner:
 
             self._grouped_fresh = partial(
                 tp_paged_attention_grouped_fresh, mesh, scale=self.scale,
-                mono=self.use_mono,
+                mono=self.use_mono, vma=_vma,
             )
             # jnp scatter writeback (GSPMD partitions it over the cache's
             # tp-sharded trailing dim); see ops/kv_cache.write_fresh for
@@ -311,7 +324,10 @@ class GroupRunner:
             from nano_pearl_tpu.parallel.tp_attn import tp_prefill_self_attention
 
             self._attn_prefill_self = partial(
-                tp_prefill_self_attention, gmesh.mesh, scale=self.scale
+                tp_prefill_self_attention,
+                None if self.pp_size > 1 else gmesh.mesh,
+                scale=self.scale,
+                vma=frozenset({"pp"}) if self.pp_size > 1 else None,
             )
         else:
             self._attn_prefill_self = partial(
@@ -320,9 +336,13 @@ class GroupRunner:
                 vma=frozenset({"pp"}) if self.pp_size > 1 else None,
             )
         self._attn_prefill_self.wants_fresh_kv = True
-        if self.pp_size > 1 and self.use_pallas and self.sp_size == 1:
+        if (
+            self.pp_size > 1 and self.use_pallas and self.sp_size == 1
+            and gmesh.tp_size == 1
+        ):
             # Mosaic kernels inside the pp partial-manual body need the
-            # remaining (size-1) tp axis manualized (parallel/pp.py)
+            # remaining (size-1) tp axis manualized (parallel/pp.py);
+            # tp > 1 already nests the real tp wrappers above
             from nano_pearl_tpu.parallel.pp import manual_tp_attn
 
             self._attn_decode = manual_tp_attn(gmesh.mesh, self._attn_decode)
@@ -645,6 +665,7 @@ class GroupRunner:
                     self.cfg, params, kv, tokens, positions, slots, rope,
                     self._attn_decode, (bt_rows, context_lens),
                     kv_write_fn=self._kv_write,
+                    moe_ragged=self._moe_ragged_verify,
                 )
             cap = self._verify_group_cap
             b = block_tables.shape[0]
@@ -660,6 +681,18 @@ class GroupRunner:
                 while b % k:
                     k += 1
                 bc = b // k
+            if cap and b > cap and bc * gamma < 8:
+                # a non-power-of-two batch (e.g. prime) can only be
+                # divided into tiny chunks that FALL OUT of the
+                # M in [8, 224] schedule class the cap exists to hit
+                # (advisor r4) — run unchunked instead
+                logger.warning(
+                    f"[{self.name}] verify_group_cap={cap}: batch {b} "
+                    f"only divides into {bc}-group chunks "
+                    f"({bc * gamma} rows < 8); verify runs unchunked"
+                )
+                cap = 0
+            if cap and b > cap:
                 n = tokens.shape[0]
                 nc = n // k
                 part = lambda x: x.reshape(k, nc)
@@ -675,6 +708,7 @@ class GroupRunner:
                         partial(self._attn_grouped, rows_per_group=gamma),
                         (bt, cl),
                         kv_write_fn=self._kv_write,
+                        moe_ragged=self._moe_ragged_verify,
                     )
                     return kv, hidden
 
@@ -685,6 +719,7 @@ class GroupRunner:
                 partial(self._attn_grouped, rows_per_group=gamma),
                 (block_tables, context_lens),
                 kv_write_fn=self._kv_write,
+                moe_ragged=self._moe_ragged_verify,
             )
         cfg = self.cfg
         n = tokens.shape[0]
@@ -710,6 +745,7 @@ class GroupRunner:
         hidden, fresh = self._forward(
             cfg, params, fresh0, tokens, positions, slots, rope,
             attn, (kv, block_tables, context_lens, ctx0), kv_write_fn=collect,
+            moe_ragged=self._moe_ragged_verify,
         )
         kv = self._write_fresh(kv, fresh, slots, gamma)
         return hidden, kv

@@ -1799,7 +1799,7 @@ def paged_attention_pallas_grouped_cache_partials(
 
 def _mono_call_fresh(
     q4, blocks, fk, fv, bt_k, bt_v, context_lens, ctx0, ctx_max_per_group,
-    scale, bs, hkv, interpret=False,
+    scale, bs, hkv, interpret=False, vma=None,
 ):
     b, r, hq, d = q4.shape
     g = hq // hkv
@@ -1849,7 +1849,7 @@ def _mono_call_fresh(
             num_kv_heads=hkv, rows=r, rows_pad=rpad, n_groups=b,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, r, hq, d), q4.dtype),
+        out_shape=_sds((b, r, hq, d), q4.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, ctx0, cum, lp, q4, blocks, fk, fv)
     return out.reshape(b * r, hq, d)
@@ -1868,6 +1868,7 @@ def paged_attention_pallas_grouped_fresh(
     rows_per_group: int,
     interpret: bool = False,
     mono: bool | None = None,
+    vma=None,
 ) -> jax.Array:
     n, hq, d = q.shape
     r = rows_per_group
@@ -1888,7 +1889,7 @@ def paged_attention_pallas_grouped_fresh(
     if _resolve_mono(mono):
         return _mono_call_fresh(
             q.reshape(b, r, hq, d), blocks, fk, fv, bt_k, bt_v,
-            context_lens, ctx0, ctx_max, scale, bs, hkv, interpret,
+            context_lens, ctx0, ctx_max, scale, bs, hkv, interpret, vma,
         )
     cum, lp = _db_chunk_meta(ctx_max, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1917,7 +1918,7 @@ def paged_attention_pallas_grouped_fresh(
             num_kv_heads=hkv, rows=r,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hq, d), q.dtype),
+        out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
     )(bt_k, bt_v, context_lens, ctx0, cum, lp, q, blocks, fk, fv)
 

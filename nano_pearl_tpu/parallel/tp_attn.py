@@ -15,7 +15,14 @@ row-parallel wo matmul whose GSPMD reduce follows as usual.
 Composes with the head-dim padding of non-power-of-2 TP (heads already
 divide tp after ``ModelConfig.pad_for_tp``). Sequence-parallel groups
 use parallel/sp.py instead (block-sharded cache needs the partial-
-softmax merge); pipeline groups keep jnp paths (parallel/pp.py).
+softmax merge).
+
+pp x tp (round 5): pass ``mesh=None`` to run INSIDE a pipeline stage's
+partial-manual shard_map body (parallel/pp.py) — the nested shard_map
+picks up the context mesh (pp already manual) and manualizes the
+still-auto tp axis around the kernel with the same head shardings;
+``vma={"pp"}`` makes the kernel declare its output pp-varying for the
+outer body's check_vma.
 """
 
 from __future__ import annotations
@@ -37,29 +44,38 @@ def _cache_spec(cache):
     return arr_spec
 
 
+def _smap(body, mesh, in_specs, out_specs):
+    """shard_map over tp; mesh=None -> context mesh (nested inside a
+    pp partial-manual body, see module docstring)."""
+    kw = {} if mesh is None else {"mesh": mesh}
+    return jax.shard_map(
+        body, in_specs=in_specs, out_specs=out_specs,
+        axis_names={TP_AXIS}, check_vma=False, **kw,
+    )
+
+
 def tp_paged_attention(
     mesh, q, cache, layer_idx, block_tables, context_lens, scale,
-    interpret: bool = False, mono=None,
+    interpret: bool = False, mono=None, vma=None,
 ):
     from nano_pearl_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
     def body(q, cache, layer_idx, bt, cl):
         return paged_attention_pallas(
-            q, cache, layer_idx, bt, cl, scale, interpret=interpret, mono=mono
+            q, cache, layer_idx, bt, cl, scale, interpret=interpret,
+            mono=mono, vma=vma,
         )
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
+    return _smap(
+        body, mesh,
         in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
         out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
     )(q, cache, layer_idx, block_tables, context_lens)
 
 
 def tp_paged_attention_grouped(
     mesh, q, cache, layer_idx, group_tables, context_lens, scale,
-    rows_per_group, interpret: bool = False, mono=None,
+    rows_per_group, interpret: bool = False, mono=None, vma=None,
 ):
     from nano_pearl_tpu.ops.pallas.paged_attention import (
         paged_attention_pallas_grouped,
@@ -68,22 +84,20 @@ def tp_paged_attention_grouped(
     def body(q, cache, layer_idx, bt, cl):
         return paged_attention_pallas_grouped(
             q, cache, layer_idx, bt, cl, scale, rows_per_group,
-            interpret=interpret, mono=mono,
+            interpret=interpret, mono=mono, vma=vma,
         )
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
+    return _smap(
+        body, mesh,
         in_specs=(P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P()),
         out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
     )(q, cache, layer_idx, group_tables, context_lens)
 
 
 def tp_paged_attention_grouped_fresh(
     mesh, q, cache, layer_idx, group_tables, context_lens, ctx0,
     fresh_k, fresh_v, scale, rows_per_group, interpret: bool = False,
-    mono=None,
+    mono=None, vma=None,
 ):
     """Deferred-write packed verify under tp: fresh K/V rows are
     head-sharded exactly like the cache's folded head axis."""
@@ -94,24 +108,22 @@ def tp_paged_attention_grouped_fresh(
     def body(q, cache, li, bt, cl, c0, fk, fv):
         return paged_attention_pallas_grouped_fresh(
             q, cache, li, bt, cl, c0, fk, fv, scale, rows_per_group,
-            interpret=interpret, mono=mono,
+            interpret=interpret, mono=mono, vma=vma,
         )
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
+    return _smap(
+        body, mesh,
         in_specs=(
             P(None, TP_AXIS, None), _cache_spec(cache), P(), P(), P(), P(),
             P(None, TP_AXIS, None), P(None, TP_AXIS, None),
         ),
         out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
     )(q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v)
 
 
 def tp_prefill_self_attention(
     mesh, q, k, v, layer_idx, block_tables, q_positions, scale,
-    interpret: bool = False,
+    interpret: bool = False, vma=None,
 ):
     """Fresh-KV flash prefill under tp: fresh k/v rows are head-sharded
     exactly like the cache."""
@@ -121,12 +133,11 @@ def tp_prefill_self_attention(
 
     def body(q, k, v, layer_idx, bt, qp):
         return prefill_self_attention_pallas(
-            q, k, v, layer_idx, bt, qp, scale, interpret=interpret
+            q, k, v, layer_idx, bt, qp, scale, interpret=interpret, vma=vma
         )
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
+    return _smap(
+        body, mesh,
         in_specs=(
             P(None, TP_AXIS, None),
             P(None, TP_AXIS, None),
@@ -134,5 +145,4 @@ def tp_prefill_self_attention(
             P(), P(), P(),
         ),
         out_specs=P(None, TP_AXIS, None),
-        check_vma=False,
     )(q, k, v, layer_idx, block_tables, q_positions)

@@ -332,3 +332,74 @@ def test_lower_pp_pallas_decode_and_verify():
             jnp.zeros((rows,), jnp.int32), jnp.zeros((rows,), jnp.int32), rope,
         )
         jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def test_lower_pp_tp_pallas_decode_and_verify():
+    """Round-5: Pallas kernels under pp x tp — the tp_attn wrappers with
+    mesh=None nest a tp shard_map INSIDE the pipeline stage's
+    partial-manual body (engine/runner.py pp>1 & tp>1 selection), so the
+    realistic 70B layout no longer forfeits the kernels (VERDICT r4
+    item 4). Lowers decode, grouped-verify and fresh-KV prefill flavors
+    for TPU on a (pp=2, tp=2) mesh."""
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_model_config
+
+    from nano_pearl_tpu.models.transformer import init_params, make_rope_table
+    from nano_pearl_tpu.parallel.pp import pp_forward
+    from nano_pearl_tpu.parallel.sharding import kv_cache_spec, param_specs
+    from nano_pearl_tpu.parallel.tp_attn import (
+        tp_paged_attention,
+        tp_paged_attention_grouped,
+        tp_prefill_self_attention,
+    )
+
+    cfg = tiny_model_config(
+        num_hidden_layers=4, head_dim=128, hidden_size=512,
+        num_attention_heads=4, num_key_value_heads=2, dtype="bfloat16",
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("pp", "tp"))
+    params = init_params(cfg, jax.random.key(0))
+    rope = make_rope_table(cfg)
+    kv = make_kv_cache(4, 7, 16, 2, 128, dtype=jnp.bfloat16)
+    shard = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    params_pp = jax.tree.map(
+        shard, params, param_specs(cfg, pp=True), is_leaf=lambda x: isinstance(x, P)
+    )
+    kv_pp = shard(kv, kv_cache_spec(pp=True))
+    n, m, r = 6, 4, 3
+    vma = frozenset({"pp"})
+    decode = partial(tp_paged_attention, None, scale=0.1, mono=False, vma=vma)
+    grouped = partial(
+        tp_paged_attention_grouped, None, scale=0.1, mono=False, vma=vma,
+        rows_per_group=r,
+    )
+    prefill_self = partial(tp_prefill_self_attention, None, scale=0.1, vma=vma)
+    prefill_self.wants_fresh_kv = True
+    flavors = [
+        (decode, (jnp.zeros((n, m), jnp.int32), jnp.ones((n,), jnp.int32)), n),
+        (
+            grouped,
+            (jnp.zeros((n // r, m), jnp.int32), jnp.ones((n,), jnp.int32)),
+            n,
+        ),
+        (
+            prefill_self,
+            (jnp.zeros((1, m), jnp.int32), jnp.zeros((1, n), jnp.int32)),
+            n,
+        ),
+    ]
+    for attn, attn_args, rows in flavors:
+        f = lambda p, c, t, pos, s, rt: pp_forward(
+            mesh, cfg, p, c, t, pos, s, rt, attn, attn_args
+        )
+        args = (
+            params_pp, kv_pp, jnp.zeros((rows,), jnp.int32),
+            jnp.zeros((rows,), jnp.int32), jnp.zeros((rows,), jnp.int32), rope,
+        )
+        jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
