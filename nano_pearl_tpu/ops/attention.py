@@ -493,7 +493,7 @@ def merge_attn_partials(o1, m1, l1, o2, m2, l2, dtype):
 
 def paged_attention_grouped_fresh(
     q, cache, layer_idx, group_tables, context_lens, ctx0, fresh_k, fresh_v,
-    scale, rows_per_group, use_pallas=None, mono=None,
+    scale, rows_per_group, use_pallas=None, mono=None, split=False,
 ):
     """Dispatch the deferred-write packed-verify attention.
 
@@ -514,6 +514,17 @@ def paged_attention_grouped_fresh(
 
         from nano_pearl_tpu.ops.pallas.paged_attention import _resolve_mono
 
+        if split:
+            # round-aligned split-boundary schedule: cell partition
+            # bitwise-matches the split decode (paged_attention_split)
+            from nano_pearl_tpu.ops.pallas.paged_attention import (
+                paged_attention_pallas_grouped_fresh_split,
+            )
+
+            return paged_attention_pallas_grouped_fresh_split(
+                q, cache, layer_idx, group_tables, context_lens, ctx0,
+                fresh_k, fresh_v, scale, rows_per_group,
+            )
         mono = _resolve_mono(mono)
         if mono and os.environ.get("NANO_PEARL_FRESH_MODE", "merge") == "merge":
             from nano_pearl_tpu.ops.pallas.paged_attention import (
@@ -544,6 +555,31 @@ def paged_attention_grouped_fresh(
         q, cache, layer_idx, group_tables, context_lens, ctx0,
         fresh_k, fresh_v, scale,
     )
+
+
+def paged_attention_split(
+    q, cache, layer_idx, block_tables, context_lens, b1, b2, scale,
+    use_pallas=None, vma=None,
+):
+    """Decode attention on the round-aligned SPLIT-BOUNDARY schedule
+    (ops/pallas/paged_attention.paged_attention_pallas_split): the draft
+    gamma-scan flavor whose flash cell partition bitwise-matches the
+    deferred-write verify's. jnp fallback ignores the boundaries (the
+    jnp path is the associativity-agnostic reference)."""
+    if use_pallas is None:
+        from nano_pearl_tpu.ops.pallas import attention_enabled
+
+        use_pallas = attention_enabled()
+    if use_pallas:
+        from nano_pearl_tpu.ops.pallas.paged_attention import (
+            paged_attention_pallas_split,
+        )
+
+        return paged_attention_pallas_split(
+            q, cache, layer_idx, block_tables, context_lens, b1, b2, scale,
+            vma=vma,
+        )
+    return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)
 
 
 def paged_attention(q, cache, layer_idx, block_tables, context_lens, scale, use_pallas=None, mono=None, vma=None):

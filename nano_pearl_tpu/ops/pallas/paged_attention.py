@@ -73,13 +73,20 @@ def _kv_head(arr, kh: int, d: int, scales=None, out_dt=None, num_kv_heads=None):
 
 
 def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
-               block_size, num_kv_heads, k_scales=None, v_scales=None):
+               block_size, num_kv_heads, k_scales=None, v_scales=None,
+               lo=None, hi=None):
     """One flash update for a single query row: q [Hq, D], k/v
     [BS, Hkv, D] or folded [BS, Hkv*D] in their NATIVE dtype (bf16 stays
     bf16 — the MXU runs bf16 x bf16 -> f32 at full rate, f32 x f32 at
     half), scalar ctx bound. Quantized blocks pass their scales and are
     dequantized per used head (see _kv_head). Softmax statistics and the
-    accumulator stay f32."""
+    accumulator stay f32.
+
+    ``lo``/``hi`` restrict the update to absolute positions in
+    [lo, hi) — the split-boundary schedule (see _kernel_db_split): a
+    fully-masked update is an exact fp no-op PROVIDED an earlier update
+    already set this row's running max (the caller's first executed
+    update must contain an unmasked column)."""
     hq, d = q.shape
     g = hq // num_kv_heads
     vdt = q.dtype if v_scales is not None else v.dtype
@@ -99,7 +106,12 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
         )
     s2 = jnp.concatenate(s_parts, axis=0) * scale  # [Hq, BS]
     pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
-    s2 = jnp.where(pos < ctx, s2, NEG_INF)
+    mask = pos < ctx
+    if lo is not None:
+        mask &= pos >= lo
+    if hi is not None:
+        mask &= pos < hi
+    s2 = jnp.where(mask, s2, NEG_INF)
 
     m_prev = m_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
@@ -126,10 +138,12 @@ def _sr_update(q, k, v, ctx, block_start, m_scr, l_scr, acc_scr, *, scale,
 
 
 def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
-               block_size, num_kv_heads, k_scales=None, v_scales=None):
+               block_size, num_kv_heads, k_scales=None, v_scales=None,
+               lo=None, hi=None):
     """One flash update for R grouped query rows sharing a KV block:
     q [R, Hq, D], k/v [BS, Hkv, D] or folded [BS, Hkv*D] in their NATIVE
-    dtype (see _sr_update), ctx_rows: R scalars."""
+    dtype (see _sr_update), ctx_rows: R scalars. ``lo``/``hi``: absolute
+    position bounds of the split-boundary schedule (see _sr_update)."""
     r, hq, d = q.shape
     g = hq // num_kv_heads
     vdt = q.dtype if v_scales is not None else v.dtype
@@ -142,6 +156,10 @@ def _gr_update(q, k, v, ctx_rows, block_start, m_scr, l_scr, acc_scr, *, scale,
         jnp.int32, (r * g, block_size), 1
     )
     row_mask = pos < ctx_col
+    if lo is not None:
+        row_mask &= pos >= lo
+    if hi is not None:
+        row_mask &= pos < hi
 
     s_parts = []
     for kh in range(num_kv_heads):
@@ -409,6 +427,86 @@ def _kernel_db(
             m_scr, l_scr, acc_scr,
             scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
         )
+
+    _db_xstep_loop(ni, n, cum_ref, start, wait, compute)
+    denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+    o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def _kernel_db_split(
+    bt_k_ref, bt_v_ref, context_lens_ref, b1_ref, b2_ref, cum_ref, lp_ref,
+    q_ref,  # [1, Hq, D] VMEM
+    blocks_ref,  # HBM (manual DMA)
+    o_ref,  # [1, Hq, D] VMEM
+    kbuf, vbuf, m_scr, l_scr, acc_scr, k_sems, v_sems,
+    *, scale: float, block_size: int, num_kv_heads: int,
+):
+    """_kernel_db with the round-aligned SPLIT-BOUNDARY schedule: each
+    chunk applies up to three interval updates, partitioning the key
+    stream at the per-row absolute boundaries b1 (target fresh-window
+    start, length - num_input) and b2 (draft fresh-window start,
+    length - 1) in addition to the chunk multiples.
+
+    Why: bitwise decode<->verify agreement at the layer-share ceiling
+    requires both streams to fold the SAME key-position cells into the
+    flash accumulator in the SAME order. The deferred-write verify
+    (_grouped_kernel_db_fresh_split) necessarily splits at b1 (cache /
+    in-operand boundary) and at b2 + chunk multiples inside the fresh
+    window; the draft's gamma-scan decode — whose keys all live in its
+    own cache — replicates that partition here with masked updates.
+    A fully-masked interval update is an exact fp no-op (alpha = exp(0)
+    = 1, p rows underflow to 0.0) once the row's first executed update
+    contains an unmasked column — guaranteed because the first
+    non-empty cell always starts at position 0 and every ctx >= 1."""
+    ni = pl.program_id(0)
+    n = pl.num_programs(0)
+    ppc = _pages_per_chunk(block_size)
+    ctx = context_lens_ref[ni]
+    b1 = b1_ref[ni]
+    b2 = b2_ref[ni]
+    m1 = jnp.minimum(b1, b2)
+    m2 = jnp.maximum(b1, b2)
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def dmas(slot, g, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, ni, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        cstart = ci * cbs
+        cells = (
+            (jnp.int32(0), m1),
+            (m1, m2),
+            (m2, ctx),
+        )
+        for lo, hi in cells:
+            run = jnp.maximum(cstart, lo) < jnp.minimum(
+                jnp.minimum(cstart + cbs, hi), ctx
+            )
+
+            @pl.when(run)
+            def _(lo=lo, hi=hi):
+                _sr_update(
+                    q_ref[0], kbuf[slot], vbuf[slot], ctx, cstart,
+                    m_scr, l_scr, acc_scr,
+                    scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+                    lo=lo, hi=hi,
+                )
 
     _db_xstep_loop(ni, n, cum_ref, start, wait, compute)
     denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
@@ -1519,6 +1617,98 @@ def _grouped_kernel_db_fresh(
     _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
 
 
+def _grouped_kernel_db_fresh_split(
+    bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref, cum_ref, lp_ref,
+    q_ref,  # [R, Hq, D] VMEM
+    blocks_ref,  # HBM (manual DMA) — READ-ONLY here
+    fk_ref, fv_ref,  # [1, R, Hkv*D] VMEM: this group's fresh post-rope K/V
+    o_ref,
+    kbuf, vbuf, m_scr, l_scr, acc_scr, k_sems, v_sems,
+    *, scale: float, block_size: int, num_kv_heads: int, rows: int,
+):
+    """Deferred-write packed verify with the round-aligned SPLIT-BOUNDARY
+    schedule (the target-side twin of _kernel_db_split).
+
+    Partition of each row's key stream: chunk multiples, b1 = ctx0 (the
+    cache / in-operand boundary — positions >= ctx0 arrive as fresh
+    operand rows), and b2 = the draft's fresh-window start (length - 1 =
+    max ctx over the group's rows - 1, derivable in-kernel). Cache
+    chunks cover cells below ctx0; the fresh slab is folded in as up to
+    three interval updates split at the one possible chunk multiple
+    inside the window and at b2 — the exact cells, in the exact order,
+    that the draft's split decode folds from its own cache. With
+    identical cell values (GEMM-class-aligned K/V) the two streams'
+    logits agree bitwise, which is what holds the layer-share
+    acceptance ceiling (docs/DESIGN.md §8) WITHOUT the per-layer
+    write-then-read scatter."""
+    bi = pl.program_id(0)
+    nb = pl.num_programs(0)
+    ctx_rows = [context_lens_ref[bi * rows + i] for i in range(rows)]
+    c0 = ctx0_ref[bi]
+    ctx_max = ctx_rows[0]
+    for c in ctx_rows[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+    b2 = ctx_max - 1  # draft fresh-window start (length - 1)
+    ppc = _pages_per_chunk(block_size)
+    _init_scratch(m_scr, l_scr, acc_scr)
+
+    def dmas(slot, g, ci):
+        return _chunk_dmas(
+            blocks_ref, bt_k_ref, g, ci, kbuf.at[slot], k_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        ) + _chunk_dmas(
+            blocks_ref, bt_v_ref, g, ci, vbuf.at[slot], v_sems.at[slot],
+            block_size, lp_ref[g], ppc,
+        )
+
+    def start(slot, g, ci):
+        for dma in dmas(slot, g, ci):
+            dma.start()
+
+    def wait(slot, ci):
+        for dma in dmas(slot, bi, ci):
+            dma.wait()
+
+    cbs = ppc * block_size
+
+    def compute(slot, ci):
+        cstart = ci * cbs
+        # cache cells: [0, c0) — guard keeps a fully-masked FIRST update
+        # from corrupting the running max (c0 == 0: no cache at all)
+        run = cstart < jnp.minimum(c0, ctx_max)
+
+        @pl.when(run)
+        def _():
+            _gr_update(
+                q_ref[...], kbuf[slot], vbuf[slot], ctx_rows, cstart,
+                m_scr, l_scr, acc_scr,
+                scale=scale, block_size=cbs, num_kv_heads=num_kv_heads,
+                hi=c0,
+            )
+
+    _db_xstep_loop(bi, nb, cum_ref, start, wait, compute)
+    # fresh cells: [c0, x1), [x1, x2), [x2, ctx) with {x1, x2} =
+    # sorted {first chunk multiple > c0, b2} — the window spans < cbs
+    # positions, so at most one chunk multiple falls inside it
+    cstar = (c0 // cbs + 1) * cbs
+    x1 = jnp.minimum(cstar, b2)
+    x2 = jnp.maximum(cstar, b2)
+    for lo, hi in ((c0, x1), (x1, x2), (x2, None)):
+        hi_eff = ctx_max if hi is None else jnp.minimum(hi, ctx_max)
+        run = lo < hi_eff
+
+        @pl.when(run)
+        def _(lo=lo, hi=hi):
+            _gr_update(
+                q_ref[...], fk_ref[0], fv_ref[0], ctx_rows, c0,
+                m_scr, l_scr, acc_scr,
+                scale=scale, block_size=rows, num_kv_heads=num_kv_heads,
+                lo=lo, hi=hi,
+            )
+
+    _gr_finalize(o_ref, l_scr, acc_scr, num_kv_heads)
+
+
 def _grouped_kernel_db_mono_fresh(
     bt_k_ref, bt_v_ref, context_lens_ref, ctx0_ref, cum_ref, lp_ref,  # prefetch
     q_hbm,  # [B, R, Hq, D] ANY
@@ -1915,6 +2105,126 @@ def paged_attention_pallas_grouped_fresh(
     return pl.pallas_call(
         functools.partial(
             _grouped_kernel_db_fresh, scale=scale, block_size=bs,
+            num_kv_heads=hkv, rows=r,
+        ),
+        grid_spec=grid_spec,
+        out_shape=_sds((n, hq, d), q.dtype, vma),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, ctx0, cum, lp, q, blocks, fk, fv)
+
+
+def paged_attention_pallas_split(
+    q: jax.Array,  # [N, Hq, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] — bf16/f32 only
+    layer_idx,
+    block_tables: jax.Array,  # [N, M] int32
+    context_lens: jax.Array,  # [N] int32
+    b1: jax.Array,  # [N] int32 target fresh-window start (length - num_input)
+    b2: jax.Array,  # [N] int32 draft fresh-window start (length - 1)
+    scale: float,
+    interpret: bool = False,
+    vma=None,
+) -> jax.Array:
+    """Decode attention on the SPLIT-BOUNDARY schedule (_kernel_db_split):
+    the draft gamma-scan flavor of the unified kernel family — its flash
+    cell partition matches the deferred-write verify's
+    (paged_attention_pallas_grouped_fresh_split) bitwise. db generation
+    only (bf16/f32, lane-aligned folded heads); callers gate."""
+    n, hq, d = q.shape
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, block_tables, d
+    )
+    assert scales is None and (hkv * d) % 128 == 0, (
+        "split-schedule decode requires a bf16/f32 cache with a "
+        "lane-aligned folded head axis (the caller gates on this)"
+    )
+    cum, lp = _db_chunk_meta(context_lens, bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_db_split, scale=scale, block_size=bs, num_kv_heads=hkv
+        ),
+        grid_spec=grid_spec,
+        out_shape=_sds((n, hq, d), q.dtype, vma),
+        interpret=interpret,
+    )(bt_k, bt_v, context_lens, b1, b2, cum, lp, q, blocks)
+
+
+def paged_attention_pallas_grouped_fresh_split(
+    q: jax.Array,  # [B*R, Hq, D]
+    cache,  # FULL cache [L, 2, NB+1, BS, Hkv*D] — bf16/f32 only
+    layer_idx,
+    group_tables: jax.Array,  # [B, M]
+    context_lens: jax.Array,  # [B*R]
+    ctx0: jax.Array,  # [B] pre-round context per group (= b1)
+    fresh_k: jax.Array,  # [B*R, Hkv, D] post-rope fresh keys (this layer)
+    fresh_v: jax.Array,  # [B*R, Hkv, D]
+    scale: float,
+    rows_per_group: int,
+    interpret: bool = False,
+    vma=None,
+) -> jax.Array:
+    """Deferred-write packed verify on the SPLIT-BOUNDARY schedule
+    (_grouped_kernel_db_fresh_split): bitwise-matches the split decode
+    (paged_attention_pallas_split) cell-for-cell, holding the
+    layer-share acceptance ceiling without the per-layer scatter."""
+    n, hq, d = q.shape
+    r = rows_per_group
+    b = n // r
+    blocks, scales, bt_k, bt_v, (bs, hkv, _) = _cache_parts(
+        cache, layer_idx, group_tables, d
+    )
+    assert scales is None and (hkv * d) % 128 == 0, (
+        "split-schedule verify requires a bf16/f32 cache with a "
+        "lane-aligned folded head axis (the caller gates on this)"
+    )
+    g = hq // hkv
+    fk = fresh_k.reshape(b, r, hkv * d).astype(blocks.dtype)
+    fv = fresh_v.reshape(b, r, hkv * d).astype(blocks.dtype)
+    ctx_max = jnp.max(
+        jnp.minimum(context_lens.reshape(b, r), ctx0[:, None]), axis=1
+    )
+    cum, lp = _db_chunk_meta(ctx_max, bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, *_: (bi, 0, 0)),
+            pl.BlockSpec((1, r, hkv * d), lambda bi, *_: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, hq, d), lambda bi, *_: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((2, _pages_per_chunk(bs) * bs, hkv * d), blocks.dtype),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * r * g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+            pltpu.SemaphoreType.DMA((2, _pages_per_chunk(bs))),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _grouped_kernel_db_fresh_split, scale=scale, block_size=bs,
             num_kv_heads=hkv, rows=r,
         ),
         grid_spec=grid_spec,

