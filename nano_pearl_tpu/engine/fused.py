@@ -81,22 +81,37 @@ class FusedPearl:
 
     # ------------------------------------------------------------ PEARL
 
-    def _draft_gamma(self, dparams, drope, dkv, tokens_last, positions, bt, ctx, gamma):
+    def _draft_gamma(self, dparams, drope, dkv, tokens_last, positions, bt, ctx, gamma, b1=None):
         dcfg, dr = self.draft.cfg, self.draft
         bs = self.block_size
+        split = dr._attn_decode_split is not None and b1 is not None
+        # per-step split boundaries: step 0 is verified by THIS round
+        # ((b1, L-1)); steps >= 1 by the NEXT round's full-accept verify
+        # ((L, L + gamma - 1)) — see runner._gamma_impl
+        b2 = positions  # L - 1
+        b1_next = ctx  # L
+        b2_next = ctx + (gamma - 1)
 
-        def step(carry, _):
+        def step(carry, t):
             kv, toks, pos, cl = carry
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
+            if split:
+                first = t == 0
+                b1_t = jnp.where(first, b1, b1_next)
+                b2_t = jnp.where(first, b2, b2_next)
+                attn, aargs = dr._attn_decode_split, (bt, cl, b1_t, b2_t)
+            else:
+                attn, aargs = dr._attn_decode, (bt, cl)
             hidden, kv = dr._forward(
                 dcfg, dparams, kv, toks, pos, slots, drope,
-                dr._attn_decode, (bt, cl), kv_write_fn=dr._kv_write,
+                attn, aargs, kv_write_fn=dr._kv_write,
             )
             nxt = greedy(compute_logits(dcfg, dparams, hidden))
             return (kv, nxt, pos + 1, cl + 1), nxt
 
         (dkv, _, _, _), toks = jax.lax.scan(
-            step, (dkv, tokens_last, positions, ctx), None, length=gamma
+            step, (dkv, tokens_last, positions, ctx),
+            jnp.arange(gamma, dtype=jnp.int32),
         )
         return dkv, toks.T  # [B, gamma]
 
@@ -144,9 +159,11 @@ class FusedPearl:
             (i, dkv, tkv, tokens, length, pre, finished, cur_acc, emitted, emit_cnt) = carry
 
             last = jnp.take_along_axis(tokens, jnp.clip(length - 1, 0)[:, None], axis=1)[:, 0]
-            dkv, G = self._draft_gamma(dparams, drope, dkv, last, length - 1, bt_d, length, gamma)
-
             num_input = jnp.where(pre, 1, gamma).astype(jnp.int32)
+            dkv, G = self._draft_gamma(
+                dparams, drope, dkv, last, length - 1, bt_d, length, gamma,
+                b1=length - num_input,
+            )
             tkv, logits = self._target_packed(tparams, trope, tkv, tokens, length, num_input, bt_t, gamma)
 
             # to-be-verified window: previous round shifted by one, ending

@@ -333,7 +333,10 @@ class PearlOrchestrator:
         # meshes; on disjoint HOSTS each controller dispatches only its
         # own group and the two run concurrently by process parallelism)
         toks_dev = (
-            self.draft.gamma_scan(draft_views, gamma, b_pad, self._m_pad(draft_views))
+            self.draft.gamma_scan(
+                draft_views, gamma, b_pad, self._m_pad(draft_views),
+                is_pre=is_pre,
+            )
             if self.owns_draft
             else None
         )

@@ -111,6 +111,29 @@ class GroupRunner:
         # 'throughput' profile acceptance is set by real model divergence,
         # so large verifies keep the faster sorted-ragged path (advisor r4)
         self._moe_ragged_verify = pcfg.perf_profile == "throughput"
+        # Split-boundary unified schedule (round 5): deferred-write verify
+        # (windowed-DUS writeback, no per-layer scatter) whose flash cell
+        # partition bitwise-matches the split gamma-scan decode — the
+        # bitwise ceiling at deferred speed (ops/pallas/paged_attention
+        # _kernel_db_split / _grouped_kernel_db_fresh_split; on-chip
+        # compiled validation maxdiff 0.0, tests/test_split_schedule.py).
+        # db kernel generation only; single-shard meshes, unquantized
+        # lane-aligned caches. NANO_PEARL_SPLIT=0/1 overrides.
+        _env_sp = _os.environ.get("NANO_PEARL_SPLIT")
+        _hkv_aligned = (
+            mcfg.num_key_value_heads // gmesh.tp_size * mcfg.head_dim
+        ) % 128 == 0
+        self._split_schedule = (
+            ((_env_sp == "1") if _env_sp is not None
+             else pcfg.perf_profile == "ceiling")
+            and self.use_pallas
+            and not self.use_mono
+            and gmesh.tp_size == 1
+            and gmesh.pp_size == 1
+            and gmesh.sp_size == 1
+            and mcfg.kv_quant is None
+            and _hkv_aligned
+        )
 
         # Disjoint multi-host placement: a controller whose process owns
         # none of this group's devices builds the runner WITHOUT weights
@@ -314,9 +337,22 @@ class GroupRunner:
             self._grouped_fresh = partial(
                 paged_attention_grouped_fresh, scale=self.scale,
                 use_pallas=self.use_pallas, mono=self.use_mono,
+                split=self._split_schedule,
             )
             self._write_fresh = partial(write_fresh, use_pallas=self.use_pallas)
             self._kv_write = write_kv
+        if self._split_schedule:
+            from nano_pearl_tpu.ops.attention import paged_attention_split
+
+            # draft gamma-scan decode on the split schedule (same cell
+            # partition as the deferred verify); AR/pre-verify decode
+            # keeps the plain kernel (self-consistent streams)
+            self._attn_decode_split = partial(
+                paged_attention_split, scale=self.scale,
+                use_pallas=self.use_pallas,
+            )
+        else:
+            self._attn_decode_split = None
         # fresh-KV prefill self-attention (no cache READ — valid whenever
         # no admitted sequence has prefix-cache hits; cache-free, so it
         # composes with sp/pp/union unchanged)
@@ -454,7 +490,7 @@ class GroupRunner:
         hkv_local = mcfg.num_key_value_heads // gmesh.tp_size
         _deferred_ok_pallas = (
             (hkv_local * mcfg.head_dim) % 128 == 0
-            and self._deferred_requested
+            and (self._deferred_requested or self._split_schedule)
         )
         self._deferred_verify = (
             self.pp_size == 1
@@ -586,7 +622,7 @@ class GroupRunner:
         )
         return kv, compute_logits(self.cfg, params, hidden)
 
-    def _gamma_impl(self, params, rope, kv, tokens, positions, block_tables, context_lens, *, gamma):
+    def _gamma_impl(self, params, rope, kv, tokens, positions, block_tables, context_lens, b1, b2, *, gamma):
         """The draft's whole PEARL round as one compiled scan: gamma greedy
         decode steps feeding sampled tokens forward (reference:
         DraftModelRunner.pearl_step :492-507 — gamma Python iterations of
@@ -606,16 +642,35 @@ class GroupRunner:
             )
             return kv, toks
         bs = self.block_size
+        split = self._attn_decode_split is not None
+        # Split-boundary schedule: each proposal must be folded with the
+        # cell partition of the round that VERIFIES it — step 0's token
+        # is checked by THIS round's verify (cells split at (b1, b2) =
+        # (L - num_input, L - 1)), steps >= 1 by the NEXT round's
+        # (full-accept path: (L, L + gamma - 1)); rejected tails are
+        # discarded unverified, so only the accept-path boundaries
+        # matter (tests/test_split_schedule.py; engine MAT probe r5).
+        if split:
+            length0 = context_lens  # round-start length per row
+            b1_next = length0
+            b2_next = length0 + (gamma - 1)
 
-        def step(carry, _):
+        def step(carry, t):
             kv, toks, pos, ctx = carry
             slots = (
                 jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0] * bs
                 + pos % bs
             )
+            if split:
+                first = t == 0
+                b1_t = jnp.where(first, b1, b1_next)
+                b2_t = jnp.where(first, b2, b2_next)
+                attn, aargs = self._attn_decode_split, (block_tables, ctx, b1_t, b2_t)
+            else:
+                attn, aargs = self._attn_decode, (block_tables, ctx)
             hidden, kv = self._forward(
                 self.cfg, params, kv, toks, pos, slots, rope,
-                self._attn_decode, (block_tables, ctx),
+                attn, aargs,
                 kv_write_fn=self._kv_write,
             )
             logits = compute_logits(self.cfg, params, hidden)
@@ -623,7 +678,8 @@ class GroupRunner:
             return (kv, nxt, pos + 1, ctx + 1), nxt
 
         (kv, _, _, _), toks = jax.lax.scan(
-            step, (kv, tokens, positions, context_lens), None, length=gamma
+            step, (kv, tokens, positions, context_lens),
+            jnp.arange(gamma, dtype=jnp.int32),
         )
         return kv, toks  # toks: [gamma, B]
 
@@ -721,6 +777,50 @@ class GroupRunner:
                 kv_write_fn=self._kv_write,
                 moe_ragged=self._moe_ragged_verify,
             )
+        cap = self._verify_group_cap
+        b = block_tables.shape[0]
+        if cap and b > cap:
+            # sequence-group chunking of the DEFERRED verify: same
+            # GEMM-class motivation as the classic path above; each chunk
+            # collects its own fresh buffer and writes it back before the
+            # next chunk's layers run (chunks are disjoint sequences)
+            k = -(-b // cap)
+            while b % k:
+                k += 1
+            bc = b // k
+            if bc * gamma >= 8:
+                n = tokens.shape[0]
+                nc = n // k
+                part = lambda x: x.reshape(k, nc)
+                stacked = (
+                    part(tokens), part(positions), part(slots),
+                    block_tables.reshape(k, bc, -1), part(context_lens),
+                )
+
+                def chunk(kv, a):
+                    tk, ps, sl, bt, cl = a
+                    hidden, kv = self._deferred_forward(
+                        params, rope, kv, tk, ps, sl, bt, cl, gamma
+                    )
+                    return kv, hidden
+
+                kv, hiddens = jax.lax.scan(chunk, kv, stacked)
+                return hiddens.reshape(n, -1), kv
+            logger.warning(
+                f"[{self.name}] verify_group_cap={cap}: batch {b} "
+                f"only divides into {bc}-group chunks "
+                f"({bc * gamma} rows < 8); deferred verify runs unchunked"
+            )
+        return self._deferred_forward(
+            params, rope, kv, tokens, positions, slots, block_tables,
+            context_lens, gamma,
+        )
+
+    def _deferred_forward(self, params, rope, kv, tokens, positions, slots, block_tables, context_lens, gamma):
+        """Deferred-write packed verify for one (chunk of the) batch:
+        fresh K/V collected in-operand during the layer scan, attention
+        reads cache-prefix + fresh rows, one windowed-DUS writeback after
+        the scan (see packed_verify_forward docstring)."""
         cfg = self.cfg
         n = tokens.shape[0]
         b = n // gamma
@@ -889,16 +989,25 @@ class GroupRunner:
         )
         return logits
 
-    def gamma_scan(self, views: list[SeqView], gamma: int, b_pad: int, m_pad: int):
+    def gamma_scan(self, views: list[SeqView], gamma: int, b_pad: int, m_pad: int, is_pre=None):
         """Dispatch the draft round; returns draft tokens [gamma, b_pad]
         (device, async). Block tables must already cover len+gamma tokens
-        (Scheduler.schedule_decode lookahead)."""
+        (Scheduler.schedule_decode lookahead). ``is_pre`` feeds the
+        split-schedule boundaries (b1 = target fresh-window start,
+        b2 = draft fresh-window start; ignored off the split path)."""
         tokens, positions, context_lens, block_tables, _ = self._decode_arrays(
             views, b_pad, m_pad, with_slots=False
         )
+        b1 = np.zeros((b_pad,), np.int32)
+        b2 = np.zeros((b_pad,), np.int32)
+        for i, v in enumerate(views):
+            n = len(v)
+            num_input = 1 if (is_pre is None or is_pre[i]) else gamma
+            b1[i] = n - num_input
+            b2[i] = n - 1
         self.kv, toks = self._jit_gamma(
             self.params, self.rope_table, self.kv, tokens, positions, block_tables,
-            context_lens, gamma=gamma,
+            context_lens, b1, b2, gamma=gamma,
         )
         return toks
 
