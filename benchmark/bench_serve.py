@@ -60,8 +60,50 @@ def parse_args():
     return p.parse_args()
 
 
+def _start_stall_watchdog():
+    """Tunnel-stall re-exec (same machinery as bench.py): the axon
+    tunnel freezes mid-RPC for 10-25 min and killed every round-4
+    rate=16 run inside its window. No progress for the limit -> re-exec
+    with a fresh JAX client and the warm compile cache."""
+    if os.environ.get("NANO_PEARL_BENCH_WATCHDOG", "1") != "1":
+        return
+
+    import threading
+
+    limit = int(os.environ.get("NANO_PEARL_BENCH_STALL_LIMIT", "600"))
+
+    def watch():
+        while True:
+            time.sleep(20)
+            idle = time.monotonic() - _PROGRESS[0]
+            if idle > limit:
+                attempt = int(os.environ.get("NANO_PEARL_SERVE_ATTEMPT", "0"))
+                if attempt >= 2:
+                    print(
+                        f"[bench_serve] watchdog: stalled {idle:.0f} s on the "
+                        "last attempt; giving up", file=sys.stderr, flush=True,
+                    )
+                    os._exit(3)
+                print(
+                    f"[bench_serve] watchdog: no progress in {idle:.0f} s "
+                    "(tunnel stall); re-exec'ing", file=sys.stderr, flush=True,
+                )
+                os.environ["NANO_PEARL_SERVE_ATTEMPT"] = str(attempt + 1)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    threading.Thread(target=watch, daemon=True, name="serve-stall-watchdog").start()
+
+
+_PROGRESS = [time.monotonic()]
+
+
+def _touch_progress():
+    _PROGRESS[0] = time.monotonic()
+
+
 def main():
     args = parse_args()
+    _start_stall_watchdog()
     if args.quick:
         args.hidden, args.ffn, args.heads, args.kv_heads = 256, 512, 4, 2
         args.vocab, args.draft_layers, args.target_layers = 2048, 2, 4
@@ -149,6 +191,7 @@ def main():
                 time.sleep(max(0.0, arrivals[next_req] - (time.perf_counter() - t0)))
             continue
         done, _ = eng.serve_step(args.fused_rounds, with_deltas=True)
+        _touch_progress()  # each completed serve_step resets the stall watchdog
         occupancy.append(len(eng.scheduler.running) + len(done))
         for _sid, toks, _acc in done:
             completed += 1

@@ -26,6 +26,17 @@ HKV, D, HQ = 2, 128, 8
 SCALE = D**-0.5
 
 
+@pytest.fixture
+def small_chunks(monkeypatch):
+    """Shrink the db chunk to 64 tokens so chunk-boundary crossings are
+    exercised at interpret-mode-friendly context lengths (the chunk size
+    only sets where the cell partition splits; the kernels read it
+    through _pages_per_chunk at trace time)."""
+    import nano_pearl_tpu.ops.pallas.paged_attention as pa
+
+    monkeypatch.setattr(pa, "CHUNK_TOKENS", 64)
+
+
 def _setup(nb, bs, p0, r, num_input=None, seed=0):
     """One sequence occupying contiguous slots [0, p0 + r); fresh window
     = the last ``num_input`` (default r) positions [length - num_input,
@@ -63,11 +74,15 @@ def _setup(nb, bs, p0, r, num_input=None, seed=0):
 @pytest.mark.parametrize(
     "nb,bs,p0,r,exact",
     [
-        (8, 16, 21, 4, True),       # window inside one chunk
-        (70, 16, 1020, 8, False),   # window CROSSES the 1024 chunk boundary
+        (8, 16, 21, 4, True),     # window inside one chunk
+        (8, 16, 60, 8, False),    # window CROSSES a chunk boundary
+        #   (chunk = CHUNK_TOKENS=64 under the fixture below; the real
+        #   1024-chunk crossing is interpret-mode-identical and runs in
+        #   the on-chip probes instead: full-size p0=1020 measured
+        #   bitwise-equal COMPILED on v5e)
     ],
 )
-def test_split_decode_matches_split_verify_bitwise(nb, bs, p0, r, exact):
+def test_split_decode_matches_split_verify_bitwise(nb, bs, p0, r, exact, small_chunks):
     """``exact=False``: XLA:CPU's K-panel GEMM association differs
     between the [Hq, 1024] decode and [R*G, 1024] grouped score matmuls
     at full chunk width, so the crossing case is ~1-ulp on CPU. On the
@@ -125,8 +140,8 @@ def test_split_preverify_single_row_bitwise():
     assert np.array_equal(np.asarray(decode[0]), np.asarray(verify[0]))
 
 
-@pytest.mark.parametrize("nb,bs,p0,r", [(8, 16, 21, 4), (70, 16, 1020, 8)])
-def test_split_kernels_match_jnp_reference(nb, bs, p0, r):
+@pytest.mark.parametrize("nb,bs,p0,r", [(8, 16, 21, 4), (8, 16, 60, 8)])
+def test_split_kernels_match_jnp_reference(nb, bs, p0, r, small_chunks):
     """Both split flavors stay numerically correct (vs the jnp path)."""
     s = _setup(nb, bs, p0, r)
     bt_rows = jnp.repeat(s["bt"], r, axis=0)

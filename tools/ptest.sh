@@ -24,7 +24,7 @@ SHARD_0=(tests/test_engine.py tests/test_pp.py tests/test_fused.py
   tests/test_stop_tokens.py tests/test_verify.py tests/test_block_manager.py
   tests/test_scheduler.py tests/test_native.py tests/test_write_fresh_windows.py
   tests/test_moe.py tests/test_deferred_verify.py)
-SHARD_1=(tests/test_serve.py tests/test_sp.py tests/test_quant.py
+SHARD_1=(tests/test_split_schedule.py tests/test_serve.py tests/test_sp.py tests/test_quant.py
   tests/test_kv_quant.py tests/test_chunked_prefill.py tests/test_topk_topp.py
   tests/test_tpu_lowering.py tests/test_ops.py tests/test_model_parity.py
   tests/test_tp_attn.py)
