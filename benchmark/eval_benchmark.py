@@ -64,6 +64,13 @@ def parse_args():
         help="KV-cache quantization for BOTH model groups",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile", choices=["ceiling", "throughput"], default=None,
+        help="kernel-schedule profile override (default: throughput when "
+        "noise/checkpoints set acceptance, else ceiling; the round-5 "
+        "split schedule makes ceiling run at deferred speed, so noisy "
+        "runs may prefer it too)",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
 
@@ -130,7 +137,7 @@ def main():
         # divergence-driven acceptance (real checkpoints / noisy draft)
         # -> the faster kernel schedule; bitwise layer-share ceiling ->
         # the acceptance-maximizing one (see PearlConfig.perf_profile)
-        perf_profile=(
+        perf_profile=args.profile or (
             "throughput" if (args.draft_noise or args.draft_model) else "ceiling"
         ),
     )
