@@ -85,21 +85,17 @@ class FusedPearl:
         dcfg, dr = self.draft.cfg, self.draft
         bs = self.block_size
         split = dr._attn_decode_split is not None and b1 is not None
-        # per-step split boundaries: step 0 is verified by THIS round
-        # ((b1, L-1)); steps >= 1 by the NEXT round's full-accept verify
-        # ((L, L + gamma - 1)) — see runner._gamma_impl
-        b2 = positions  # L - 1
-        b1_next = ctx  # L
-        b2_next = ctx + (gamma - 1)
+        # per-step split boundary: step 0 is verified by THIS round
+        # (b1 = L - num_input); steps >= 1 by the NEXT round's
+        # full-accept verify (b1 = L) — see runner._gamma_impl
+        b1_next = ctx  # round-start length L per row
 
         def step(carry, t):
             kv, toks, pos, cl = carry
             slots = _row_slots(bt, pos[:, None], bs)[:, 0]
             if split:
-                first = t == 0
-                b1_t = jnp.where(first, b1, b1_next)
-                b2_t = jnp.where(first, b2, b2_next)
-                attn, aargs = dr._attn_decode_split, (bt, cl, b1_t, b2_t)
+                b1_t = jnp.where(t == 0, b1, b1_next)
+                attn, aargs = dr._attn_decode_split, (bt, cl, b1_t)
             else:
                 attn, aargs = dr._attn_decode, (bt, cl)
             hidden, kv = dr._forward(

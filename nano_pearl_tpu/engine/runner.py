@@ -622,7 +622,7 @@ class GroupRunner:
         )
         return kv, compute_logits(self.cfg, params, hidden)
 
-    def _gamma_impl(self, params, rope, kv, tokens, positions, block_tables, context_lens, b1, b2, *, gamma):
+    def _gamma_impl(self, params, rope, kv, tokens, positions, block_tables, context_lens, b1, *, gamma):
         """The draft's whole PEARL round as one compiled scan: gamma greedy
         decode steps feeding sampled tokens forward (reference:
         DraftModelRunner.pearl_step :492-507 — gamma Python iterations of
@@ -645,15 +645,13 @@ class GroupRunner:
         split = self._attn_decode_split is not None
         # Split-boundary schedule: each proposal must be folded with the
         # cell partition of the round that VERIFIES it — step 0's token
-        # is checked by THIS round's verify (cells split at (b1, b2) =
-        # (L - num_input, L - 1)), steps >= 1 by the NEXT round's
-        # (full-accept path: (L, L + gamma - 1)); rejected tails are
-        # discarded unverified, so only the accept-path boundaries
-        # matter (tests/test_split_schedule.py; engine MAT probe r5).
+        # is checked by THIS round's verify (cells split at its
+        # fresh-window start b1 = L - num_input), steps >= 1 by the NEXT
+        # round's (full-accept path: b1 = L); rejected tails are
+        # discarded unverified, so only the accept-path boundary matters
+        # (tests/test_split_schedule.py; engine MAT probe r5).
         if split:
-            length0 = context_lens  # round-start length per row
-            b1_next = length0
-            b2_next = length0 + (gamma - 1)
+            b1_next = context_lens  # round-start length L per row
 
         def step(carry, t):
             kv, toks, pos, ctx = carry
@@ -662,10 +660,8 @@ class GroupRunner:
                 + pos % bs
             )
             if split:
-                first = t == 0
-                b1_t = jnp.where(first, b1, b1_next)
-                b2_t = jnp.where(first, b2, b2_next)
-                attn, aargs = self._attn_decode_split, (block_tables, ctx, b1_t, b2_t)
+                b1_t = jnp.where(t == 0, b1, b1_next)
+                attn, aargs = self._attn_decode_split, (block_tables, ctx, b1_t)
             else:
                 attn, aargs = self._attn_decode, (block_tables, ctx)
             hidden, kv = self._forward(
@@ -999,15 +995,13 @@ class GroupRunner:
             views, b_pad, m_pad, with_slots=False
         )
         b1 = np.zeros((b_pad,), np.int32)
-        b2 = np.zeros((b_pad,), np.int32)
         for i, v in enumerate(views):
             n = len(v)
             num_input = 1 if (is_pre is None or is_pre[i]) else gamma
             b1[i] = n - num_input
-            b2[i] = n - 1
         self.kv, toks = self._jit_gamma(
             self.params, self.rope_table, self.kv, tokens, positions, block_tables,
-            context_lens, b1, b2, gamma=gamma,
+            context_lens, b1, gamma=gamma,
         )
         return toks
 

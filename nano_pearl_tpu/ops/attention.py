@@ -558,14 +558,15 @@ def paged_attention_grouped_fresh(
 
 
 def paged_attention_split(
-    q, cache, layer_idx, block_tables, context_lens, b1, b2, scale,
+    q, cache, layer_idx, block_tables, context_lens, b1, scale,
     use_pallas=None, vma=None,
 ):
     """Decode attention on the round-aligned SPLIT-BOUNDARY schedule
     (ops/pallas/paged_attention.paged_attention_pallas_split): the draft
     gamma-scan flavor whose flash cell partition bitwise-matches the
-    deferred-write verify's. jnp fallback ignores the boundaries (the
-    jnp path is the associativity-agnostic reference)."""
+    deferred-write verify's. ``b1`` = the VERIFYING round's fresh-window
+    start per row. jnp fallback ignores the boundary (the jnp path is
+    the associativity-agnostic reference)."""
     if use_pallas is None:
         from nano_pearl_tpu.ops.pallas import attention_enabled
 
@@ -576,7 +577,7 @@ def paged_attention_split(
         )
 
         return paged_attention_pallas_split(
-            q, cache, layer_idx, block_tables, context_lens, b1, b2, scale,
+            q, cache, layer_idx, block_tables, context_lens, b1, scale,
             vma=vma,
         )
     return paged_attention_jnp(q, cache, layer_idx, block_tables, context_lens, scale)

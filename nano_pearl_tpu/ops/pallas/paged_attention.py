@@ -434,7 +434,7 @@ def _kernel_db(
 
 
 def _kernel_db_split(
-    bt_k_ref, bt_v_ref, context_lens_ref, b1_ref, b2_ref, cum_ref, lp_ref,
+    bt_k_ref, bt_v_ref, context_lens_ref, b1_ref, cum_ref, lp_ref,
     q_ref,  # [1, Hq, D] VMEM
     blocks_ref,  # HBM (manual DMA)
     o_ref,  # [1, Hq, D] VMEM
@@ -442,30 +442,29 @@ def _kernel_db_split(
     *, scale: float, block_size: int, num_kv_heads: int,
 ):
     """_kernel_db with the round-aligned SPLIT-BOUNDARY schedule: each
-    chunk applies up to three interval updates, partitioning the key
-    stream at the per-row absolute boundaries b1 (target fresh-window
-    start, length - num_input) and b2 (draft fresh-window start,
-    length - 1) in addition to the chunk multiples.
+    chunk applies up to two interval updates, partitioning the key
+    stream at the per-row absolute boundary b1 — the VERIFYING round's
+    fresh-window start — in addition to the chunk multiples.
 
     Why: bitwise decode<->verify agreement at the layer-share ceiling
     requires both streams to fold the SAME key-position cells into the
     flash accumulator in the SAME order. The deferred-write verify
-    (_grouped_kernel_db_fresh_split) necessarily splits at b1 (cache /
-    in-operand boundary) and at b2 + chunk multiples inside the fresh
-    window; the draft's gamma-scan decode — whose keys all live in its
-    own cache — replicates that partition here with masked updates.
-    A fully-masked interval update is an exact fp no-op (alpha = exp(0)
-    = 1, p rows underflow to 0.0) once the row's first executed update
-    contains an unmasked column — guaranteed because the first
-    non-empty cell always starts at position 0 and every ctx >= 1."""
+    (_grouped_kernel_db_fresh_split) necessarily splits at b1 (its
+    cache / in-operand boundary) and at the chunk multiples; the
+    draft's gamma-scan decode — whose keys all live in its own cache —
+    replicates that partition here with masked updates. b1 is the only
+    extra boundary needed: the verify folds its whole fresh window
+    [b1, ctx_row) as ONE staircase update, exactly like the decode's
+    [b1, ctx) cell. A fully-masked interval update is an exact fp no-op
+    (alpha = exp(0) = 1, p rows underflow to 0.0) once the row's first
+    executed update contains an unmasked column — guaranteed because
+    the first non-empty cell always starts at position 0 and every
+    ctx >= 1."""
     ni = pl.program_id(0)
     n = pl.num_programs(0)
     ppc = _pages_per_chunk(block_size)
     ctx = context_lens_ref[ni]
     b1 = b1_ref[ni]
-    b2 = b2_ref[ni]
-    m1 = jnp.minimum(b1, b2)
-    m2 = jnp.maximum(b1, b2)
     _init_scratch(m_scr, l_scr, acc_scr)
 
     def dmas(slot, g, ci):
@@ -489,12 +488,7 @@ def _kernel_db_split(
 
     def compute(slot, ci):
         cstart = ci * cbs
-        cells = (
-            (jnp.int32(0), m1),
-            (m1, m2),
-            (m2, ctx),
-        )
-        for lo, hi in cells:
+        for lo, hi in ((jnp.int32(0), b1), (b1, ctx)):
             run = jnp.maximum(cstart, lo) < jnp.minimum(
                 jnp.minimum(cstart + cbs, hi), ctx
             )
@@ -1648,7 +1642,6 @@ def _grouped_kernel_db_fresh_split(
     ctx_max = ctx_rows[0]
     for c in ctx_rows[1:]:
         ctx_max = jnp.maximum(ctx_max, c)
-    b2 = ctx_max - 1  # draft fresh-window start (length - 1)
     ppc = _pages_per_chunk(block_size)
     _init_scratch(m_scr, l_scr, acc_scr)
 
@@ -1687,13 +1680,11 @@ def _grouped_kernel_db_fresh_split(
             )
 
     _db_xstep_loop(bi, nb, cum_ref, start, wait, compute)
-    # fresh cells: [c0, x1), [x1, x2), [x2, ctx) with {x1, x2} =
-    # sorted {first chunk multiple > c0, b2} — the window spans < cbs
-    # positions, so at most one chunk multiple falls inside it
+    # fresh cells: [c0, cstar), [cstar, ctx-staircase) — cstar = the one
+    # chunk multiple that can fall inside the < cbs-wide window; the
+    # second cell is usually empty and skips
     cstar = (c0 // cbs + 1) * cbs
-    x1 = jnp.minimum(cstar, b2)
-    x2 = jnp.maximum(cstar, b2)
-    for lo, hi in ((c0, x1), (x1, x2), (x2, None)):
+    for lo, hi in ((c0, cstar), (cstar, None)):
         hi_eff = ctx_max if hi is None else jnp.minimum(hi, ctx_max)
         run = lo < hi_eff
 
@@ -2119,8 +2110,7 @@ def paged_attention_pallas_split(
     layer_idx,
     block_tables: jax.Array,  # [N, M] int32
     context_lens: jax.Array,  # [N] int32
-    b1: jax.Array,  # [N] int32 target fresh-window start (length - num_input)
-    b2: jax.Array,  # [N] int32 draft fresh-window start (length - 1)
+    b1: jax.Array,  # [N] int32 VERIFYING round's fresh-window start
     scale: float,
     interpret: bool = False,
     vma=None,
@@ -2140,7 +2130,7 @@ def paged_attention_pallas_split(
     )
     cum, lp = _db_chunk_meta(context_lens, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=6,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda ni, *_: (ni, 0, 0)),
@@ -2164,7 +2154,7 @@ def paged_attention_pallas_split(
         grid_spec=grid_spec,
         out_shape=_sds((n, hq, d), q.dtype, vma),
         interpret=interpret,
-    )(bt_k, bt_v, context_lens, b1, b2, cum, lp, q, blocks)
+    )(bt_k, bt_v, context_lens, b1, cum, lp, q, blocks)
 
 
 def paged_attention_pallas_grouped_fresh_split(

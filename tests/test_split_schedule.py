@@ -96,13 +96,12 @@ def test_split_decode_matches_split_verify_bitwise(nb, bs, p0, r, exact, small_c
         s["ctx0"], s["fk"], s["fv"], SCALE, r, interpret=True,
     )
     b1 = jnp.full((1,), s["ctx0"][0], jnp.int32)
-    b2 = jnp.full((1,), s["b2"], jnp.int32)
     rows = []
     for j in range(r):
         rows.append(
             paged_attention_pallas_split(
                 s["q"][j : j + 1], s["cache_with"], jnp.int32(0), s["bt"],
-                s["ctx_rows"][j : j + 1], b1, b2, SCALE, interpret=True,
+                s["ctx_rows"][j : j + 1], b1, SCALE, interpret=True,
             )[0]
         )
     decode = jnp.stack(rows)
@@ -135,7 +134,7 @@ def test_split_preverify_single_row_bitwise():
     )
     decode = paged_attention_pallas_split(
         s["q"], s["cache_with"], jnp.int32(0), s["bt"], s["ctx_rows"],
-        s["ctx0"], jnp.full((1,), s["b2"], jnp.int32), SCALE, interpret=True,
+        s["ctx0"], SCALE, interpret=True,
     )
     assert np.array_equal(np.asarray(decode[0]), np.asarray(verify[0]))
 

@@ -89,13 +89,22 @@ def main():
         pre0 = {s.seq_id: s.pre_verify for s in seqs}
         orch.pearl_round(g)
         rows = []
+        events = []
         for s in seqs:
             dl = len(s.target) - lens0[s.seq_id]
             tag = "P" if pre0[s.seq_id] else " "
             # dl == g on accept; dl == 1 on pre-accept path start;
             # negative/small on reject (rollback)
             rows.append(f"{tag}{dl:+3d}")
+            if dl != g and not (pre0[s.seq_id] and dl == 1):
+                L0 = lens0[s.seq_id]
+                events.append(
+                    f"seq{s.seq_id}: L0={L0} window=[{L0 - g},{L0}) "
+                    f"dl={dl} L0%256={L0 % 256} L0%1024={L0 % 1024}"
+                )
         print(f"round {r:3d}: " + " ".join(rows), flush=True)
+        for e in events:
+            print("   REJECT " + e, flush=True)
 
 
 if __name__ == "__main__":
