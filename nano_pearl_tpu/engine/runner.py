@@ -123,9 +123,13 @@ class GroupRunner:
         _hkv_aligned = (
             mcfg.num_key_value_heads // gmesh.tp_size * mcfg.head_dim
         ) % 128 == 0
+        # default OFF: measured on v5e at bs=32 gamma=14, split+vcap16 is
+        # 3.568x / MAT 13.79 vs classic's 3.66x / 14.0 — the in-kernel
+        # per-group fresh updates (~1.5us x groups x layers) eat the
+        # scatter savings and a rare (~0.5%/round-row) leak remains
+        # (chiplog 20 runs C-F, chiplog 24). NANO_PEARL_SPLIT=1 enables.
         self._split_schedule = (
-            ((_env_sp == "1") if _env_sp is not None
-             else pcfg.perf_profile == "ceiling")
+            ((_env_sp == "1") if _env_sp is not None else False)
             and self.use_pallas
             and not self.use_mono
             and gmesh.tp_size == 1

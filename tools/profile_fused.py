@@ -120,9 +120,11 @@ def main():
     seqs = list(engine.scheduler.running)
     for s_ in seqs:
         s_.max_tokens = 2**30
-    state = engine.orchestrator._build_fused_state(
-        seqs, lambda s: 2 * args.steps_hi + 8, ar_only=True
+    engine.scheduler.schedule_decode(
+        lookahead=lambda s: 2 * args.steps_hi + 8, strict=False,
+        ar_only=True,
     )
+    state = engine.orchestrator._build_fused_state(seqs, ar_only=True)
     t_lo = timeit(lambda: fused.run_ar(dict(state), args.steps_lo, 1), iters=3)
     t_hi = timeit(lambda: fused.run_ar(dict(state), args.steps_hi, 1), iters=3)
     ar_step = (t_hi - t_lo) / (args.steps_hi - args.steps_lo)
@@ -138,9 +140,11 @@ def main():
         seqs = list(engine.scheduler.running)
         for s_ in seqs:
             s_.max_tokens = 2**30
-        state = engine.orchestrator._build_fused_state(
-            seqs, lambda s: args.steps_hi * gamma + 2 * gamma + 8
+        engine.scheduler.schedule_decode(
+            lookahead=lambda s: args.steps_hi * gamma + 2 * gamma + 8,
+            strict=False,
         )
+        state = engine.orchestrator._build_fused_state(seqs)
         tokens = state["tokens"]
         length = state["length"]
         bt_d, bt_t = state["bt_d"], state["bt_t"]
