@@ -125,8 +125,18 @@ def main():
         ar_only=True,
     )
     state = engine.orchestrator._build_fused_state(seqs, ar_only=True)
-    t_lo = timeit(lambda: fused.run_ar(dict(state), args.steps_lo, 1), iters=3)
-    t_hi = timeit(lambda: fused.run_ar(dict(state), args.steps_hi, 1), iters=3)
+    # run_* donate the state arrays: hand each call a fresh device copy
+    # (the copy cost is fixed per call and cancels in the hi-lo margin)
+    import jax as _jax
+
+    def _st(st):
+        return {
+            k: (jnp.copy(v) if isinstance(v, _jax.Array) else v)
+            for k, v in st.items()
+        }
+
+    t_lo = timeit(lambda: fused.run_ar(_st(state), args.steps_lo, 1), iters=3)
+    t_hi = timeit(lambda: fused.run_ar(_st(state), args.steps_hi, 1), iters=3)
     ar_step = (t_hi - t_lo) / (args.steps_hi - args.steps_lo)
     print(f"AR marginal step: {ar_step*1e3:.2f} ms "
           f"({b/ar_step:.0f} tok/s marginal)")
@@ -171,8 +181,8 @@ def main():
         )
 
         # full fused marginal round
-        t_lo = timeit(lambda: fused.run_pearl(dict(state), gamma, args.steps_lo, 1), iters=3)
-        t_hi = timeit(lambda: fused.run_pearl(dict(state), gamma, args.steps_hi, 1), iters=3)
+        t_lo = timeit(lambda: fused.run_pearl(_st(state), gamma, args.steps_lo, 1), iters=3)
+        t_hi = timeit(lambda: fused.run_pearl(_st(state), gamma, args.steps_hi, 1), iters=3)
         t_round = (t_hi - t_lo) / (args.steps_hi - args.steps_lo)
 
         committed = (gamma + 1) * b
