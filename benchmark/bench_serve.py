@@ -171,6 +171,16 @@ def main():
         )
     while eng.has_work:
         eng.serve_step(args.fused_rounds)
+    # low-rate arrivals admit 1-2 requests at a time: compile the SMALL
+    # prefill buckets too (the batch-cap drain above only covers decode
+    # buckets on the way down — a cold single-request prefill inside the
+    # timed window showed up as 8-13 s TTFT p95 at rate=4, chiplog 22)
+    for k in (1, 2):
+        for i in range(k):
+            eng.submit(prompts[i], SamplingParams(
+                temperature=0.0, max_tokens=8, ignore_eos=True))
+        while eng.has_work:
+            eng.serve_step(args.fused_rounds)
     eng.scheduler.finished.clear()
     eng._lat.clear()  # warmup's compile-inflated latency must not skew percentiles
 

@@ -18,6 +18,14 @@ if [ "$STAGE" = cal ]; then
       timeout 1700 python bench.py --draft-noise "$noise" --profile ceiling
       echo "rc=$?"
     done
+    # VERDICT item 3 target rows: the CNNDM-like low-MAT regime with the
+    # r5 adaptive-gamma fixes (stale-anchor decay, force_gamma pinning)
+    echo "=== noise 0.02 gamma=4 $(date +%H:%M:%S)"
+    timeout 1700 python bench.py --draft-noise 0.02 --gamma 4
+    echo "rc=$?"
+    echo "=== noise 0.02 adaptive $(date +%H:%M:%S)"
+    timeout 1700 python bench.py --draft-noise 0.02 --gamma -1
+    echo "rc=$?"
     echo "=== cal done $(date +%H:%M:%S)"
   } >> "$LOG" 2>&1
 else
