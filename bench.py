@@ -47,7 +47,14 @@ _RETRY_DELAY_S = 75
 
 def _retryable(e: BaseException) -> bool:
     s = f"{type(e).__name__}: {e}"
-    return "UNAVAILABLE" in s or "worker process crashed" in s
+    return (
+        "UNAVAILABLE" in s
+        or "worker process crashed" in s
+        # transient axon compile-helper failure under load (round 5):
+        # "remote_compile: HTTP 500 ... could not determine TPU worker
+        # hostnames" — standalone retries of the same compile succeed
+        or "remote_compile" in s
+    )
 
 
 def _phase(name: str, t0: float):

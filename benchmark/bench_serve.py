@@ -101,7 +101,33 @@ def _touch_progress():
     _PROGRESS[0] = time.monotonic()
 
 
+def _retryable(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return (
+        "UNAVAILABLE" in s
+        or "worker process crashed" in s
+        or "remote_compile" in s
+    )
+
+
 def main():
+    try:
+        return _main_inner()
+    except Exception as e:  # noqa: BLE001 — retry only known transients
+        attempt = int(os.environ.get("NANO_PEARL_SERVE_ATTEMPT", "0"))
+        if not _retryable(e) or attempt >= 2:
+            raise
+        print(
+            f"[bench_serve] attempt {attempt + 1}/3 hit a transient backend "
+            f"error ({type(e).__name__}); re-exec'ing in 60 s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(60)
+        os.environ["NANO_PEARL_SERVE_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _main_inner():
     args = parse_args()
     _start_stall_watchdog()
     if args.quick:
