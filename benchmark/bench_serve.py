@@ -57,6 +57,10 @@ def parse_args():
         "(realistic acceptance; see bench.py --draft-noise)",
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--profile", choices=["ceiling", "throughput"], default=None,
+        help="kernel-schedule profile override (see PearlConfig.perf_profile)",
+    )
     return p.parse_args()
 
 
@@ -166,7 +170,8 @@ def _main_inner():
         draft_model=draft, target_model=target, draft_tp=1, target_tp=1,
         max_model_len=2048, max_num_seqs=args.batch_cap, gamma=args.gamma,
         seed=args.seed,
-        perf_profile="throughput" if args.draft_noise else "ceiling",
+        perf_profile=args.profile
+        or ("throughput" if args.draft_noise else "ceiling"),
     )
     eng = PearlEngine(cfg, draft_params=dparams, target_params=tparams)
 
