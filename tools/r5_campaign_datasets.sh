@@ -36,7 +36,7 @@ else
     for pair in "AIME:$A" "HumanEval:$H" "GSM8K:$G" "CNNDM:$C"; do
       ds=${pair%%:*}; noise=${pair##*:}
       echo "=== dataset $ds noise=$noise $(date +%H:%M:%S)"
-      timeout 1700 python benchmark/eval_benchmark.py \
+      timeout 1700 python benchmark/eval_benchmark.py --layer-share 3,36 \
         --data-path "benchmark/data/${ds}.tokens.jsonl" --token-ids \
         -bs 32 --num-samples 64 --gamma 14 --draft-noise "$noise" \
         --profile ceiling -ar
